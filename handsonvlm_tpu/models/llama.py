@@ -1,0 +1,262 @@
+"""LLaMA/Vicuna decoder, TPU-first.
+
+Functional re-design of the reference's HF `LlamaModel` path
+(llava/model/language_model/llava_llama.py:30-140 builds on transformers
+4.31 LLaMA). Parameters are a plain pytree with per-layer weights stacked on
+a leading axis so the layer stack runs as one `lax.scan` (fast compiles,
+scan-level `jax.checkpoint` rematerialisation replacing the reference's HF
+`gradient_checkpointing True`, scripts/finetune.sh:37).
+
+Numerics match HF LLaMA: RMSNorm(eps) in fp32, non-interleaved rotary
+("rotate_half"), SwiGLU MLP, fp32 softmax.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from handsonvlm_tpu.core.config import LlamaConfig
+from handsonvlm_tpu.ops.attention import attention
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class KVCache:
+    """Preallocated decode cache: k,v of shape (L, B, S_max, K, D)."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    index: jnp.ndarray  # scalar int32: number of valid positions
+
+    def tree_flatten(self):
+        return (self.k, self.v, self.index), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @classmethod
+    def create(cls, cfg: LlamaConfig, batch: int, max_len: int, dtype) -> "KVCache":
+        shape = (cfg.num_layers, batch, max_len, cfg.kv_heads, cfg.head_dim_)
+        return cls(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            index=jnp.zeros((), jnp.int32),
+        )
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def init_llama(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.float32):
+    """Random init (normal 0.02, like HF) — real weights come from convert/."""
+    d, f = cfg.hidden_size, cfg.intermediate_size
+    h, k, hd, L = cfg.num_heads, cfg.kv_heads, cfg.head_dim_, cfg.num_layers
+    keys = jax.random.split(rng, 10)
+
+    def norm(key, shape, scale=0.02):
+        return (jax.random.normal(key, shape) * scale).astype(dtype)
+
+    params = {
+        "embed": {"weight": norm(keys[0], (cfg.vocab_size, d))},
+        "layers": {
+            "attn": {
+                "wq": norm(keys[1], (L, d, h * hd)),
+                "wk": norm(keys[2], (L, d, k * hd)),
+                "wv": norm(keys[3], (L, d, k * hd)),
+                "wo": norm(keys[4], (L, h * hd, d)),
+            },
+            "mlp": {
+                "w_gate": norm(keys[5], (L, d, f)),
+                "w_up": norm(keys[6], (L, d, f)),
+                "w_down": norm(keys[7], (L, f, d)),
+            },
+            "attn_norm": {"scale": jnp.ones((L, d), dtype)},
+            "mlp_norm": {"scale": jnp.ones((L, d), dtype)},
+        },
+        "final_norm": {"scale": jnp.ones((d,), dtype)},
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = {"weight": norm(keys[8], (d, cfg.vocab_size))}
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    var = jnp.mean(x * x, axis=-1, keepdims=True)
+    x = x * jax.lax.rsqrt(var + eps)
+    return (x * scale.astype(jnp.float32)).astype(dtype)
+
+
+def rope_cos_sin(positions: jnp.ndarray, head_dim: int, theta: float):
+    """HF-style rotary tables. positions: (B,T) -> cos/sin (B,T,head_dim)."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq  # (B,T,hd/2)
+    emb = jnp.concatenate([angles, angles], axis=-1)  # (B,T,hd)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: (B,T,H,D); cos/sin: (B,T,D). Non-interleaved rotate_half (HF)."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    cos = cos[:, :, None, :].astype(x.dtype)
+    sin = sin[:, :, None, :].astype(x.dtype)
+    return x * cos + rotated * sin
+
+
+def _layer(
+    hidden: jnp.ndarray,
+    lp,
+    cfg: LlamaConfig,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    key_mask: Optional[jnp.ndarray],
+    q_offset,
+    layer_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
+    cache_index: Optional[jnp.ndarray],
+    attn_impl: str,
+):
+    """One decoder block. Returns (hidden, (new_k_slice, new_v_slice))."""
+    b, t, d = hidden.shape
+    h, k, hd = cfg.num_heads, cfg.kv_heads, cfg.head_dim_
+
+    x = rms_norm(hidden, lp["attn_norm"]["scale"], cfg.rms_norm_eps)
+    q = (x @ lp["attn"]["wq"]).reshape(b, t, h, hd)
+    kx = (x @ lp["attn"]["wk"]).reshape(b, t, k, hd)
+    vx = (x @ lp["attn"]["wv"]).reshape(b, t, k, hd)
+    q = apply_rope(q, cos, sin)
+    kx = apply_rope(kx, cos, sin)
+
+    if layer_kv is not None:
+        ck, cv = layer_kv  # (B, S_max, K, D)
+        ck = jax.lax.dynamic_update_slice(ck, kx.astype(ck.dtype), (0, cache_index, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, vx.astype(cv.dtype), (0, cache_index, 0, 0))
+        keys_, vals_ = ck, cv
+        new_kv = (ck, cv)
+    else:
+        keys_, vals_ = kx, vx
+        new_kv = (kx, vx)
+
+    out = attention(
+        q, keys_, vals_, key_mask=key_mask, causal=True, q_offset=q_offset,
+        impl=attn_impl,
+    )
+    hidden = hidden + out.reshape(b, t, h * hd) @ lp["attn"]["wo"]
+
+    x = rms_norm(hidden, lp["mlp_norm"]["scale"], cfg.rms_norm_eps)
+    gate = jax.nn.silu(x @ lp["mlp"]["w_gate"])
+    up = x @ lp["mlp"]["w_up"]
+    hidden = hidden + (gate * up) @ lp["mlp"]["w_down"]
+    return hidden, new_kv
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def apply_llama(
+    params,
+    cfg: LlamaConfig,
+    *,
+    input_ids: Optional[jnp.ndarray] = None,
+    inputs_embeds: Optional[jnp.ndarray] = None,
+    attn_mask: Optional[jnp.ndarray] = None,
+    positions: Optional[jnp.ndarray] = None,
+    kv_cache: Optional[KVCache] = None,
+    attn_impl: str = "auto",
+    remat: bool = False,
+) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+    """Run the decoder stack.
+
+    - Training/prefill: pass embeddings of length T; `attn_mask` (B,T) marks
+      valid (non-pad) positions.
+    - Cached decode: pass `kv_cache`; new keys/values are written at
+      `kv_cache.index`; attention spans the whole cache with positions
+      `>= index + t` masked out. `attn_mask` then covers S_max keys
+      (or None for "all written keys valid").
+
+    Returns final hidden states (B,T,D) and the updated cache (or None).
+    """
+    if inputs_embeds is None:
+        inputs_embeds = params["embed"]["weight"][input_ids]
+    b, t, d = inputs_embeds.shape
+
+    if kv_cache is not None:
+        cache_index = kv_cache.index
+        q_offset = cache_index
+        s = kv_cache.max_len
+        written = jnp.arange(s) < (cache_index + t)
+        key_mask = written[None, :]
+        if attn_mask is not None:
+            key_mask = key_mask & attn_mask.astype(bool)
+        key_mask = jnp.broadcast_to(key_mask, (b, s))
+    else:
+        cache_index = None
+        q_offset = 0
+        key_mask = attn_mask.astype(bool) if attn_mask is not None else None
+
+    if positions is None:
+        base = jnp.arange(t)[None, :]
+        positions = base + (cache_index if kv_cache is not None else 0)
+        positions = jnp.broadcast_to(positions, (b, t))
+    cos, sin = rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta)
+
+    def scan_body(hidden, layer_in):
+        lp, layer_kv = layer_in
+        hidden, new_kv = _layer(
+            hidden, lp, cfg, cos, sin, key_mask, q_offset, layer_kv,
+            cache_index, attn_impl,
+        )
+        return hidden, new_kv
+
+    if remat:
+        scan_body = jax.checkpoint(scan_body)
+
+    layer_params = params["layers"]
+    if kv_cache is not None:
+        xs = (layer_params, (kv_cache.k, kv_cache.v))
+    else:
+        xs = (layer_params, None)
+
+    hidden, kv_out = jax.lax.scan(scan_body, inputs_embeds, xs)
+    hidden = rms_norm(hidden, params["final_norm"]["scale"], cfg.rms_norm_eps)
+
+    new_cache = None
+    if kv_cache is not None:
+        new_cache = KVCache(k=kv_out[0], v=kv_out[1], index=kv_cache.index + t)
+    return hidden, new_cache
+
+
+def lm_logits(params, cfg: LlamaConfig, hidden: jnp.ndarray) -> jnp.ndarray:
+    """Project to vocab. Computed in fp32 for a stable softmax/CE."""
+    if cfg.tie_word_embeddings:
+        w = params["embed"]["weight"].T
+    else:
+        w = params["lm_head"]["weight"]
+    return jnp.asarray(hidden, jnp.float32) @ jnp.asarray(w, jnp.float32)

@@ -1,0 +1,105 @@
+"""Attention dispatch: XLA reference implementation + Pallas kernels.
+
+The reference reaches flash-attention through a monkey patch over HF LLaMA
+(llava/train/llama_flash_attn_monkey_patch.py). Here attention is a
+first-class op with three interchangeable implementations:
+
+- ``xla``    — naive fp32-softmax attention (always available; ground truth
+               for kernel parity tests).
+- ``flash``  — Pallas blockwise flash-attention (TPU; ops/flash_attention.py).
+- ``auto``   — flash on TPU when shapes allow, else xla.
+
+All take q:(B,T,H,D), k/v:(B,S,K,D) with optional boolean key mask (B,S) and
+causal masking, and return (B,T,H,D).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def _repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
+    """(B,S,K,D) -> (B,S,K*n_rep,D) for grouped-query attention."""
+    if n_rep == 1:
+        return x
+    b, s, k, d = x.shape
+    return jnp.broadcast_to(x[:, :, :, None, :], (b, s, k, n_rep, d)).reshape(
+        b, s, k * n_rep, d
+    )
+
+
+def attention_xla(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    key_mask: Optional[jnp.ndarray] = None,
+    causal: bool = True,
+    q_offset=0,
+) -> jnp.ndarray:
+    """Reference attention; softmax accumulated in fp32.
+
+    ``q_offset`` is the absolute position of q[.,0] (scalar or (B,) array),
+    used for causal masking during cached decode.
+    """
+    b, t, h, d = q.shape
+    _, s, kh, _ = k.shape
+    if kh != h:
+        k = _repeat_kv(k, h // kh)
+        v = _repeat_kv(v, h // kh)
+
+    scale = 1.0 / jnp.sqrt(d).astype(jnp.float32)
+    # (B,H,T,S)
+    scores = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32)
+    scores = scores * scale
+
+    bias = jnp.zeros((b, 1, t, s), dtype=jnp.float32)
+    if key_mask is not None:
+        bias = jnp.where(key_mask[:, None, None, :], bias, NEG_INF)
+    if causal:
+        q_pos = jnp.arange(t)[None, :] + jnp.asarray(q_offset).reshape(-1, 1)
+        k_pos = jnp.arange(s)
+        causal_ok = q_pos[:, :, None] >= k_pos[None, None, :]
+        bias = jnp.where(causal_ok[:, None, :, :], bias, NEG_INF)
+
+    scores = scores + bias
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhts,bshd->bthd", probs, v)
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    key_mask: Optional[jnp.ndarray] = None,
+    causal: bool = True,
+    q_offset=0,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Attention entry point used by all models."""
+    if impl == "auto":
+        impl = _best_impl(q)
+    if impl == "flash":
+        from handsonvlm_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(
+            q, k, v, key_mask=key_mask, causal=causal, q_offset=q_offset
+        )
+    return attention_xla(q, k, v, key_mask=key_mask, causal=causal, q_offset=q_offset)
+
+
+def _best_impl(q: jnp.ndarray) -> str:
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:  # pragma: no cover
+        platform = "cpu"
+    b, t, h, d = q.shape
+    if platform == "tpu" and t >= 128 and d in (64, 128, 256):
+        return "flash"
+    return "xla"
