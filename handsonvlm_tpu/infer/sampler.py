@@ -1,0 +1,281 @@
+"""KV-cached autoregressive sampler with the <hand_traj> decode hook.
+
+Replaces `HandsOnVLMForCausalLM.sample` (handsonvlm/model/language_model/
+handsonvlm.py:478-672). The reference decodes with `use_cache=False`,
+re-encoding 100 frames and the full prefix every step (O(T^2 L) decode,
+handsonvlm_inference.py:107); the math, however, only ever reads the hidden
+state of the *last* position, so a KV cache is exact. This sampler:
+
+- prefills prompt + visual tokens once,
+- runs the whole decode as a single `lax.while_loop` on device (no host
+  round-trip per token),
+- reproduces the hand-token protocol: when <hand_traj> (32100) is sampled,
+  the current hidden state decodes one (right,left) waypoint via the CVAE
+  (z ~ 2*N(0,I)); when that token is fed back in, its embedding gets the
+  sinusoidal encoding of its own waypoint added (handsonvlm.py:380-396,556).
+
+Sampling matches the reference's HF warper stack: temperature then top-p,
+then categorical (temperature<=0 switches to greedy argmax).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from handsonvlm_tpu.core.config import HandsOnVLMConfig
+from handsonvlm_tpu.models.handsonvlm import (
+    decode_hand_waypoint,
+    embed_next_token,
+    encode_video,
+    splice_visual_tokens,
+)
+from handsonvlm_tpu.models.llama import KVCache, apply_llama, lm_logits
+
+MAX_HAND_STEPS = 10  # generous cap; eval pads/clips to 4 (inference.py:110-124)
+
+EOS_TOKEN_ID = 2
+PAD_TOKEN_ID = 0
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class SampleOutput:
+    """Mirror of the reference's SampleDecoderOnlyOutput (+pred_hands)."""
+
+    sequences: jnp.ndarray  # (B, max_new_tokens), PAD-filled after EOS
+    num_tokens: jnp.ndarray  # (B,) generated length incl. EOS
+    pred_hands: jnp.ndarray  # (B, 2, MAX_HAND_STEPS, 2)
+    num_hands: jnp.ndarray  # (B,)
+
+    def tree_flatten(self):
+        return (self.sequences, self.num_tokens, self.pred_hands, self.num_hands), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def _warp_logits(logits: jnp.ndarray, temperature: float, top_p: float) -> jnp.ndarray:
+    """HF TemperatureLogitsWarper + TopPLogitsWarper semantics (fp32)."""
+    logits = logits.astype(jnp.float32)
+    logits = logits / jnp.maximum(temperature, 1e-6)
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)  # ascending
+        cum_probs = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+        # remove tokens with cumulative prob <= 1 - top_p (HF keeps the rest)
+        cutoff_mask = cum_probs <= (1.0 - top_p)
+        # threshold: smallest logit that survives
+        cutoff_idx = cutoff_mask.sum(axis=-1, keepdims=True)
+        threshold = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+        logits = jnp.where(logits < threshold, -jnp.inf, logits)
+    return logits
+
+
+def _sample_token(rng, logits, temperature: float, top_p: float):
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    warped = _warp_logits(logits, temperature, top_p)
+    return jax.random.categorical(rng, warped, axis=-1).astype(jnp.int32)
+
+
+def prefill(
+    params,
+    cfg: HandsOnVLMConfig,
+    input_ids: jnp.ndarray,  # (B, T) with IMAGE sentinel
+    images: jnp.ndarray,  # (B, T_frames, 3, H, W)
+    max_len: int,
+    *,
+    attn_mask: Optional[jnp.ndarray] = None,
+    attn_impl: str = "auto",
+) -> Tuple[jnp.ndarray, KVCache, jnp.ndarray]:
+    """Encode video, splice, run the prompt through the decoder once.
+
+    Returns (last_hidden (B,D), cache, cache_attn_mask (B, max_len))."""
+    b, t = input_ids.shape
+    embed_table = params["llama"]["embed"]["weight"]
+    safe_ids = jnp.where(input_ids < 0, 0, input_ids)
+    text_embeds = embed_table[safe_ids]
+
+    visual_tokens = encode_video(params, cfg, images, attn_impl=attn_impl)
+    sp = splice_visual_tokens(
+        text_embeds, input_ids, visual_tokens.astype(text_embeds.dtype),
+        attn_mask=attn_mask,
+    )
+    t_out = sp.embeds.shape[1]
+    if t_out + 1 > max_len:
+        raise ValueError(f"prompt {t_out} does not fit cache {max_len}")
+
+    cache = KVCache.create(cfg.llama, b, max_len, sp.embeds.dtype)
+    cache_mask = jnp.concatenate(
+        [sp.attn_mask, jnp.ones((b, max_len - t_out), bool)], axis=1
+    )
+    hidden, cache = apply_llama(
+        params["llama"], cfg.llama,
+        inputs_embeds=sp.embeds, attn_mask=cache_mask,
+        kv_cache=cache, attn_impl=attn_impl,
+    )
+    return hidden[:, -1, :], cache, cache_mask
+
+
+def _decode_loop(
+    params,
+    cfg: HandsOnVLMConfig,
+    last_hidden: jnp.ndarray,  # (B, D) from prefill
+    cache: KVCache,
+    cache_mask: jnp.ndarray,  # (B, max_len)
+    rng: jax.Array,
+    max_new_tokens: int,
+    temperature: float,
+    top_p: float,
+    eos_token_id: int,
+    attn_impl: str,
+) -> SampleOutput:
+    b, d = last_hidden.shape
+
+    def sample_and_hook(rng, hidden):
+        """Sample next token from hidden; decode waypoint if <hand_traj>."""
+        r_tok, r_hand = jax.random.split(rng)
+        logits = lm_logits(params["llama"], cfg.llama, hidden[:, None, :])[:, 0]
+        token = _sample_token(r_tok, logits, temperature, top_p)
+        waypoint = decode_hand_waypoint(params, cfg, hidden, r_hand)  # (B,2,2)
+        is_hand = token == cfg.hand_token_id
+        return token, waypoint, is_hand
+
+    state = {
+        "cache": cache,
+        "rng": rng,
+        "tokens": jnp.zeros((b, max_new_tokens), jnp.int32),
+        "num_tokens": jnp.zeros((b,), jnp.int32),
+        # stored steps-major (B, M, 2hands, 2xy); transposed on return
+        "pred_hands": jnp.zeros((b, MAX_HAND_STEPS, 2, 2), jnp.float32),
+        "num_hands": jnp.zeros((b,), jnp.int32),
+        "finished": jnp.zeros((b,), bool),
+        "step": jnp.zeros((), jnp.int32),
+        # token sampled at the previous step (input to this step)
+        "cur_token": jnp.zeros((b,), jnp.int32),
+        "cur_waypoint": jnp.zeros((b, 2, 2), jnp.float32),
+        "has_input": jnp.zeros((), bool),  # first step consumes prefill hidden
+        "last_hidden": last_hidden,
+    }
+
+    def record(state, token, waypoint, is_hand):
+        step = state["step"]
+        unfinished = ~state["finished"]
+        token = jnp.where(unfinished, token, PAD_TOKEN_ID)
+        tokens = state["tokens"].at[:, step].set(token)
+        num_tokens = state["num_tokens"] + unfinished.astype(jnp.int32)
+        take_hand = is_hand & unfinished
+        hc = state["num_hands"]
+        slot = jnp.clip(hc, 0, MAX_HAND_STEPS - 1)
+        ph = state["pred_hands"]
+        upd = jnp.where(take_hand[:, None, None], waypoint, ph[jnp.arange(b), slot])
+        ph = ph.at[jnp.arange(b), slot].set(upd)
+        num_hands = hc + take_hand.astype(jnp.int32)
+        finished = state["finished"] | (token == eos_token_id)
+        return dict(
+            state,
+            tokens=tokens,
+            num_tokens=num_tokens,
+            pred_hands=ph,
+            num_hands=num_hands,
+            finished=finished,
+            cur_token=token,
+            cur_waypoint=waypoint,
+            step=step + 1,
+        )
+
+    # Step 0: sample from the prefill hidden state.
+    rng, r0 = jax.random.split(state["rng"])
+    token, waypoint, is_hand = sample_and_hook(r0, last_hidden)
+    state = record(dict(state, rng=rng), token, waypoint, is_hand)
+
+    def cond(state):
+        return (state["step"] < max_new_tokens) & ~state["finished"].all()
+
+    def body(state):
+        rng, r_step = jax.random.split(state["rng"])
+        emb = embed_next_token(params, cfg, state["cur_token"], state["cur_waypoint"])
+        hidden, new_cache = apply_llama(
+            params["llama"], cfg.llama,
+            inputs_embeds=emb[:, None, :],
+            attn_mask=cache_mask,
+            kv_cache=state["cache"],
+            attn_impl=attn_impl,
+        )
+        token, waypoint, is_hand = sample_and_hook(r_step, hidden[:, 0, :])
+        state = dict(state, cache=new_cache, rng=rng, last_hidden=hidden[:, 0, :])
+        return record(state, token, waypoint, is_hand)
+
+    state = jax.lax.while_loop(cond, body, state)
+    return SampleOutput(
+        sequences=state["tokens"],
+        num_tokens=state["num_tokens"],
+        pred_hands=jnp.transpose(state["pred_hands"], (0, 2, 1, 3)),
+        num_hands=state["num_hands"],
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "max_new_tokens", "temperature", "top_p", "eos_token_id",
+        "attn_impl", "max_len",
+    ),
+)
+def generate(
+    params,
+    cfg: HandsOnVLMConfig,
+    input_ids: jnp.ndarray,
+    images: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    max_new_tokens: int = 100,
+    max_len: int = 0,
+    temperature: float = 0.5,
+    top_p: float = 0.9,
+    eos_token_id: int = EOS_TOKEN_ID,
+    attn_impl: str = "auto",
+) -> SampleOutput:
+    """Full generate: prefill + on-device decode loop.
+
+    Defaults mirror the eval protocol (temp 0.5, top-p 0.9, <=100 new
+    tokens; handsonvlm_inference.py:83-109). `max_len=0` sizes the cache to
+    prompt + max_new_tokens.
+    """
+    t_prompt = input_ids.shape[1] + cfg.num_visual_tokens - 1
+    if max_len == 0:
+        max_len = t_prompt + max_new_tokens + 1
+    last_hidden, cache, cache_mask = prefill(
+        params, cfg, input_ids, images, max_len, attn_impl=attn_impl
+    )
+    return _decode_loop(
+        params, cfg, last_hidden, cache, cache_mask, rng,
+        max_new_tokens, temperature, top_p, eos_token_id, attn_impl,
+    )
+
+
+def clip_pred_hands(pred_hands, num_hands, num_steps: int = 4):
+    """Pad/clip decoded waypoints to `num_steps` like the eval harness
+    (handsonvlm_inference.py:110-124): short predictions repeat the last
+    waypoint; long ones truncate."""
+    import numpy as np
+
+    pred = np.asarray(pred_hands)  # (B,2,M,2)
+    n = np.asarray(num_hands)
+    b = pred.shape[0]
+    out = np.zeros((b, 2, num_steps, 2), np.float32)
+    for i in range(b):
+        k = int(n[i])
+        if k == 0:
+            continue
+        traj = pred[i, :, :k, :]
+        if k < num_steps:
+            last = traj[:, -1:, :]
+            traj = np.concatenate([traj] + [last] * (num_steps - k), axis=1)
+        out[i] = traj[:, :num_steps, :]
+    return out
