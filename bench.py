@@ -1,0 +1,169 @@
+"""Headline benchmark: HandsOnVLM-7B decode throughput (tokens/sec/chip).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+`value` is the KV-cached decode throughput of this framework's sampler
+(prefill 100-frame video + eval prompt, then autoregressive decode with the
+hand-trajectory hook, temperature 0.5 / top-p 0.9 — the EK100 eval protocol,
+handsonvlm_inference.py:83-109).
+
+`vs_baseline` compares against the *reference algorithm on the same chip*:
+HandsOnVLM decodes with use_cache=False, re-encoding the 100 frames and the
+full prefix every token (handsonvlm.py sample() + prepare_inputs_for_
+generation, is_evaluate=True). We time one full-prefix forward at
+mid-decode length — exactly the reference's per-token cost — so the ratio
+is the algorithmic speedup at equal hardware and weights.
+
+Env:
+  HANDSONVLM_BENCH_PRESET = 7b (default) | 13b | 1b | graft
+  HANDSONVLM_BENCH_NEW_TOKENS = 64
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _build_config(preset: str):
+    from handsonvlm_tpu.core.config import (
+        HandsOnVLMConfig,
+        LlamaConfig,
+        get_config,
+    )
+
+    if preset in ("7b", "13b"):
+        return get_config(preset)
+    if preset == "1b":
+        return get_config(
+            "7b",
+            llama=LlamaConfig(
+                hidden_size=2048, intermediate_size=5504, num_layers=16, num_heads=16
+            ),
+        )
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __graft_entry__
+
+    return __graft_entry__._config("graft")
+
+
+def _eval_prompt(tokenizer, cfg):
+    """Render an EK100-eval-style prompt (vanilla protocol)."""
+    from handsonvlm_tpu.data.conversation import conv_templates
+    from handsonvlm_tpu.data.tokenization import (
+        build_conversation_prompt,
+        tokenizer_image_token,
+    )
+
+    source = [
+        {
+            "from": "human",
+            "value": "<image>\nWhere should my hand move to if I want to open the fridge?",
+        },
+        {"from": "gpt", "value": None},
+    ]
+    conv = conv_templates["v1"].copy()
+    conv.append_message(conv.roles[0], source[0]["value"])
+    conv.append_message(conv.roles[1], None)
+    return tokenizer_image_token(conv.get_prompt(), tokenizer)
+
+
+def main():
+    t_start = time.time()
+    preset = os.environ.get("HANDSONVLM_BENCH_PRESET", "7b")
+    max_new = int(os.environ.get("HANDSONVLM_BENCH_NEW_TOKENS", "64"))
+
+    import jax
+    import jax.numpy as jnp
+
+    from handsonvlm_tpu.data.mock_tokenizer import MockTokenizer
+    from handsonvlm_tpu.infer.sampler import generate
+    from handsonvlm_tpu.models.handsonvlm import forward, init_handsonvlm
+    from handsonvlm_tpu.models.llama import apply_llama, lm_logits
+    from handsonvlm_tpu.models.handsonvlm import encode_video, splice_visual_tokens
+
+    cfg = _build_config(preset)
+    dev = jax.devices()[0]
+    platform = dev.platform
+
+    params = init_handsonvlm(jax.random.PRNGKey(0), cfg)
+    params = jax.device_put(params)
+    jax.block_until_ready(params)
+
+    tok = MockTokenizer()
+    ids = np.asarray(_eval_prompt(tok, cfg))[None, :]
+    ids_j = jnp.asarray(ids)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.normal(size=(1, cfg.num_frames, 3, cfg.vision.image_size, cfg.vision.image_size)),
+        cfg.cdtype,
+    )
+
+    # ---- cached decode (this framework) ----
+    def run(seed):
+        return generate(
+            params, cfg, ids_j, images, jax.random.PRNGKey(seed),
+            max_new_tokens=max_new, temperature=0.5, top_p=0.9,
+        )
+
+    out = run(0)
+    jax.block_until_ready(out.sequences)  # compile + warmup
+    n_iters = 5
+    t0 = time.perf_counter()
+    total_tokens = 0
+    for i in range(1, n_iters + 1):
+        out = run(i)
+        total_tokens += int(jax.device_get(out.num_tokens).sum())
+    t1 = time.perf_counter()
+    cached_tps = total_tokens / (t1 - t0)
+
+    # ---- reference algorithm cost on the same chip ----
+    # one full-prefix forward (frames re-encoded, no cache) at mid-decode len
+    gen_len = max_new // 2
+    full_ids = np.concatenate(
+        [ids, rng.integers(3, 30000, size=(1, gen_len))], axis=1
+    )
+    full_ids_j = jnp.asarray(full_ids)
+
+    @jax.jit
+    def nocache_step(params, input_ids, images):
+        embed = params["llama"]["embed"]["weight"]
+        text_embeds = embed[jnp.where(input_ids < 0, 0, input_ids)]
+        vis = encode_video(params, cfg, images)
+        sp = splice_visual_tokens(text_embeds, input_ids, vis.astype(text_embeds.dtype))
+        hidden, _ = apply_llama(
+            params["llama"], cfg.llama, inputs_embeds=sp.embeds, attn_mask=sp.attn_mask
+        )
+        return lm_logits(params["llama"], cfg.llama, hidden[:, -1:, :])
+
+    nocache_step(params, full_ids_j, images).block_until_ready()
+    n_base = 8
+    t0 = time.perf_counter()
+    for _ in range(n_base):
+        r = nocache_step(params, full_ids_j, images)
+    r.block_until_ready()
+    t1 = time.perf_counter()
+    baseline_tps = n_base / (t1 - t0)
+
+    result = {
+        "metric": f"decode_tokens_per_sec_{preset}",
+        "value": round(cached_tps, 3),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(cached_tps / baseline_tps, 3),
+        "baseline": "reference no-KV-cache decode algorithm, same chip/weights",
+        "baseline_tokens_per_sec": round(baseline_tps, 3),
+        "platform": platform,
+        "prompt_tokens": int(ids.shape[1]) + cfg.num_visual_tokens - 1,
+        "new_tokens": max_new,
+        "wall_s": round(time.time() - t_start, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

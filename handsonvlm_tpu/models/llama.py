@@ -254,9 +254,13 @@ def apply_llama(
 
 
 def lm_logits(params, cfg: LlamaConfig, hidden: jnp.ndarray) -> jnp.ndarray:
-    """Project to vocab. Computed in fp32 for a stable softmax/CE."""
+    """Project to vocab with fp32 accumulation (no fp32 weight copy: the MXU
+    takes bf16 operands and accumulates fp32 via preferred_element_type)."""
     if cfg.tie_word_embeddings:
         w = params["embed"]["weight"].T
     else:
         w = params["lm_head"]["weight"]
-    return jnp.asarray(hidden, jnp.float32) @ jnp.asarray(w, jnp.float32)
+    return jax.lax.dot_general(
+        hidden, w, (((hidden.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
