@@ -1,0 +1,89 @@
+"""Orbax checkpointing: async save/restore of the sharded train state.
+
+Replaces the reference's HF Trainer + DeepSpeed ZeRO-3 checkpoint stack
+(scripts/finetune.sh save_strategy epoch, zero3.json 16-bit gather-on-save,
+train.py:399-402 auto-resume): Orbax writes each shard from its owning
+device — no gather — and restores directly into the target shardings.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def _manager(ckpt_dir: str, max_to_keep: int = 100):
+    import orbax.checkpoint as ocp
+
+    return ocp.CheckpointManager(
+        os.path.abspath(ckpt_dir),
+        options=ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep, create=True, enable_async_checkpointing=True
+        ),
+    )
+
+
+def save_train_state(ckpt_dir: str, state, step: int, max_to_keep: int = 100) -> None:
+    import orbax.checkpoint as ocp
+
+    mgr = _manager(ckpt_dir, max_to_keep)
+    mgr.save(step, args=ocp.args.StandardSave({
+        "step": state.step,
+        "params": state.params,
+        "opt_state": state.opt_state,
+    }))
+    mgr.wait_until_finished()
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [int(d) for d in os.listdir(ckpt_dir) if re.fullmatch(r"\d+", d)]
+    return max(steps) if steps else None
+
+
+def restore_train_state(ckpt_dir: str, template_state, step: Optional[int] = None):
+    """Restore into the template's shapes/dtypes/shardings (auto-resume)."""
+    import orbax.checkpoint as ocp
+
+    mgr = _manager(ckpt_dir)
+    step = step if step is not None else mgr.latest_step()
+    if step is None:
+        return None
+    target = {
+        "step": template_state.step,
+        "params": template_state.params,
+        "opt_state": template_state.opt_state,
+    }
+    restored = mgr.restore(step, args=ocp.args.StandardRestore(target))
+    return type(template_state)(
+        step=restored["step"], params=restored["params"], opt_state=restored["opt_state"]
+    )
+
+
+def save_params(ckpt_dir: str, params: Any) -> None:
+    """Params-only export (deploy artifact, analogous to the 16-bit
+    gathered model save)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(os.path.abspath(ckpt_dir), "params"), params)
+    ckptr.wait_until_finished()
+
+
+def restore_params(ckpt_dir: str, cfg=None, dtype=None) -> Any:
+    import orbax.checkpoint as ocp
+
+    path = os.path.join(os.path.abspath(ckpt_dir), "params")
+    ckptr = ocp.StandardCheckpointer()
+    params = ckptr.restore(path)
+    if dtype is not None:
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(dtype) if hasattr(x, "astype") and np.issubdtype(x.dtype, np.floating) else x,
+            params,
+        )
+    return params

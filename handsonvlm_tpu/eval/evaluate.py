@@ -1,0 +1,63 @@
+"""EK100 evaluation CLI (reference: handsonvlm/evaluation/evaluate.py).
+
+Usage:
+  python -m handsonvlm_tpu.eval.evaluate --model-path /ckpts/handsonvlm-7b \
+      [--use-reason] [--ek-version ek100] [--split validation] [--limit N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model-path", required=True)
+    p.add_argument("--preset", default="7b")
+    p.add_argument("--ek-version", default="ek100")
+    p.add_argument("--split", default="validation")
+    p.add_argument("--use-reason", action="store_true")
+    p.add_argument("--temperature", type=float, default=0.5)
+    p.add_argument("--top-p", type=float, default=0.9)
+    p.add_argument("--max-new-tokens", type=int, default=100)
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default=None, help="json results path")
+    args = p.parse_args()
+
+    from handsonvlm_tpu.data.epic_dataset import (
+        EpicConversationDataset,
+        EpicReasoningConversationDataset,
+    )
+    from handsonvlm_tpu.data.epic_structures import get_epic_hoi_dataset_by_name
+    from handsonvlm_tpu.eval.evaluator import InferenceEngine, evaluate_epic_kitchen_traj
+    from handsonvlm_tpu.infer.builder import load_pretrained_model
+
+    params, cfg, tokenizer = load_pretrained_model(args.model_path, args.preset)
+
+    rephrase_rate = 1.0 if args.use_reason else 0.0
+    hoi = get_epic_hoi_dataset_by_name(
+        args.ek_version, args.split, load_images=True,
+        rephrase_rate=rephrase_rate, use_wrong_narration=False, use_percentage=1.0,
+    )
+    ds_cls = EpicReasoningConversationDataset if args.use_reason else EpicConversationDataset
+    dataset = ds_cls(tokenizer, hoi, deterministic=True)
+
+    engine = InferenceEngine(
+        params=params, cfg=cfg, tokenizer=tokenizer,
+        temperature=args.temperature, top_p=args.top_p,
+        max_new_tokens=args.max_new_tokens,
+    )
+    result = evaluate_epic_kitchen_traj(
+        engine, dataset, seed=args.seed, limit=args.limit
+    )
+    summary = {k: result[k] for k in ("ade", "fde", "wde", "n")}
+    print(json.dumps(summary))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(summary, f)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""EK100 trajectory evaluation harness.
+
+Replaces `handsonvlm/evaluation/handsonvlm_inference.py:22-174` with the
+cached sampler (math-identical decode; see infer/sampler.py). Protocol:
+deterministic Epic[Reasoning]ConversationDataset, bs 1, sampled decode
+(temperature 0.5, top-p 0.9, <=100 new tokens), predictions clipped/padded
+to 4 steps (zero-pad / last-4), scored by the stochastic ADE/FDE/WDE with
+the reference's name swap.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from handsonvlm_tpu.constants import DEFAULT_IMAGE_TOKEN
+from handsonvlm_tpu.core.config import HandsOnVLMConfig
+from handsonvlm_tpu.data.conversation import conv_templates
+from handsonvlm_tpu.data.tokenization import tokenizer_image_token
+from handsonvlm_tpu.eval.traj_metrics import evaluate_traj_stochastic
+from handsonvlm_tpu.infer.sampler import clip_pred_hands, generate
+
+
+@dataclasses.dataclass
+class InferenceEngine:
+    """Mirror of HandsOnVLMInference with the cached decode path."""
+
+    params: dict
+    cfg: HandsOnVLMConfig
+    tokenizer: object
+    conv_mode: str = "v1"
+    temperature: float = 0.5
+    top_p: float = 0.9
+    max_new_tokens: int = 100
+    pad_prompt_multiple: int = 32  # bucket prompt length to bound recompiles
+
+    def build_prompt_ids(self, question: str) -> np.ndarray:
+        conv = conv_templates[self.conv_mode].copy()
+        conv.append_message(conv.roles[0], DEFAULT_IMAGE_TOKEN + "\n" + question)
+        conv.append_message(conv.roles[1], None)
+        ids = tokenizer_image_token(conv.get_prompt(), self.tokenizer)
+        return np.asarray(ids, np.int64)[None, :]
+
+    def infer(self, question: str, images: np.ndarray, rng: jax.Array):
+        """question + (1,100,3,224,224) frames -> (pred (1,2,4,2), valid,
+        generated ids)."""
+        ids = self.build_prompt_ids(question)
+        # left-pad to a bucket so jit compiles once per bucket, not per len
+        t = ids.shape[1]
+        m = self.pad_prompt_multiple
+        bucket = ((t + m - 1) // m) * m
+        if bucket != t:
+            pad = np.full((1, bucket - t), self.tokenizer.pad_token_id, np.int64)
+            ids = np.concatenate([ids, pad], axis=1)  # right-pad; masked out
+        attn = ids != self.tokenizer.pad_token_id
+        attn[:, :t] = True
+
+        out = generate(
+            self.params,
+            self.cfg,
+            jnp.asarray(ids),
+            jnp.asarray(images, self.cfg.cdtype),
+            rng,
+            max_new_tokens=self.max_new_tokens,
+            temperature=self.temperature,
+            top_p=self.top_p,
+        )
+        pred, valid = clip_pred_hands(
+            jax.device_get(out.pred_hands), jax.device_get(out.num_hands)
+        )
+        n = int(out.num_tokens[0])
+        gen_ids = np.asarray(out.sequences[0, :n])
+        return pred, valid, gen_ids
+
+
+def evaluate_epic_kitchen_traj(
+    engine: InferenceEngine,
+    dataset,
+    seed: int = 0,
+    log_every: int = 50,
+    limit: Optional[int] = None,
+) -> Dict:
+    """Loop a deterministic conversation dataset, score stochastic ADE/FDE.
+
+    `dataset` is an Epic[Reasoning]ConversationDataset(deterministic=True).
+    Returns {'ade','fde','wde','n','val_info'}.
+    """
+    rng = jax.random.PRNGKey(seed)
+    preds, gts, valids = [], [], []
+    val_info = {}
+    n = len(dataset) if limit is None else min(limit, len(dataset))
+    for i in range(n):
+        sample = dataset[i]
+        rng, step_rng = jax.random.split(rng)
+        pred, valid, gen_ids = engine.infer(
+            sample["prompt"], sample["image"][None], step_rng
+        )
+        future_hands = np.asarray(sample["future_hands"])[None]  # (1,2,5,2)
+        future_valid = np.asarray(sample["future_valid"])[None]  # (1,2)
+        val_info[i] = {
+            "pred_hand_trajectory": pred[None] if valid[0] else None,
+            "pred_trajectory_is_valid": bool(valid[0]),
+            "future_hands": future_hands,
+            "future_valid": future_valid,
+            "prompt": sample["prompt"],
+            "text": engine.tokenizer.decode(gen_ids) if hasattr(engine.tokenizer, "decode") else None,
+        }
+        if valid[0]:
+            preds.append(pred[None])  # (1,1,2,4,2): one stochastic sample
+            gts.append(future_hands[:, :, 1:, :])  # drop last-observed point
+            valids.append(future_valid)
+        if log_every and (i + 1) % log_every == 0 and preds:
+            ade, fde, wde = evaluate_traj_stochastic(
+                np.concatenate(preds), np.concatenate(gts), np.concatenate(valids)
+            )
+            print(f"[{i + 1}/{n}] ADE {ade:.4f} FDE {fde:.4f} WDE {wde:.4f}")
+
+    if not preds:
+        return {"ade": float("nan"), "fde": float("nan"), "wde": float("nan"), "n": 0, "val_info": val_info}
+    ade, fde, wde = evaluate_traj_stochastic(
+        np.concatenate(preds), np.concatenate(gts), np.concatenate(valids)
+    )
+    return {"ade": ade, "fde": fde, "wde": wde, "n": len(preds), "val_info": val_info}

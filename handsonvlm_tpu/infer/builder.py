@@ -1,0 +1,70 @@
+"""Model loading: checkpoint -> (params, config, tokenizer).
+
+Replaces `handsonvlm/model/builder.py:18-159`. Supports:
+- an HF HandsOnVLM checkpoint directory (sharded safetensors/bin) via
+  convert/hf_to_jax (traj decoder forced to CVAE like builder.py:91);
+- an Orbax checkpoint produced by this framework's trainer;
+- `random:<preset>` for smoke runs without weights.
+
+Tokenizer: the HF Vicuna sentencepiece with the time/hand-token surgery
+when present next to the checkpoint; otherwise the deterministic mock.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from handsonvlm_tpu.core.config import HandsOnVLMConfig, get_config
+from handsonvlm_tpu.models.handsonvlm import init_handsonvlm
+
+
+def load_tokenizer(model_path: Optional[str], model_max_length: int = 2048):
+    if model_path and os.path.exists(os.path.join(model_path, "tokenizer.model")):
+        from handsonvlm_tpu.data.tokenization import HFTokenizer
+
+        return HFTokenizer(model_path, model_max_length)
+    from handsonvlm_tpu.data.mock_tokenizer import MockTokenizer
+
+    return MockTokenizer(model_max_length)
+
+
+def load_pretrained_model(
+    model_path: str,
+    preset: str = "7b",
+    dtype=jnp.bfloat16,
+) -> Tuple[dict, HandsOnVLMConfig, object]:
+    """Returns (params, cfg, tokenizer)."""
+    cfg = get_config(preset)
+    # the released checkpoints always ship the CVAE head (builder.py:91)
+    cfg = dataclasses.replace(
+        cfg, traj=dataclasses.replace(cfg.traj, kind="CVAE")
+    )
+    tokenizer = load_tokenizer(None if model_path.startswith("random:") else model_path)
+
+    if model_path.startswith("random:"):
+        params = init_handsonvlm(jax.random.PRNGKey(0), cfg)
+        return params, cfg, tokenizer
+
+    if os.path.isdir(os.path.join(model_path, "orbax")) or os.path.exists(
+        os.path.join(model_path, "_CHECKPOINT_METADATA")
+    ):
+        from handsonvlm_tpu.core.checkpoint import restore_params
+
+        params = restore_params(model_path, cfg, dtype)
+        return params, cfg, load_tokenizer(model_path)
+
+    from handsonvlm_tpu.convert.hf_to_jax import convert_handsonvlm, load_state_dict
+
+    sd = load_state_dict(model_path)
+    params = convert_handsonvlm(sd, cfg, dtype)
+    if "vision" not in params:
+        raise ValueError(
+            f"checkpoint at {model_path} lacks the vision tower; provide a "
+            "full HandsOnVLM checkpoint"
+        )
+    return params, cfg, tokenizer

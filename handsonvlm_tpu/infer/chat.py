@@ -1,0 +1,102 @@
+"""Interactive chat CLI with hand-trajectory decoding.
+
+Reference: handsonvlm/evaluation/chat.py + HandsOnVLMInference.
+user_input_inference (handsonvlm_inference.py:187-229): load an image/mp4,
+chat until the model emits <hand_traj> tokens, then render the predicted
+trajectory video.
+
+Usage:
+  python -m handsonvlm_tpu.infer.chat --model-path random:tiny \
+      --path docs/epic_kitchen.jpg --output-video ./traj.mp4
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model-path", required=True)
+    p.add_argument("--preset", default="7b")
+    p.add_argument("--path", required=True, help="image (.jpg/.png) or video (.mp4)")
+    p.add_argument("--output-video", default="./trajectory.mp4")
+    p.add_argument("--temperature", type=float, default=0.5)
+    p.add_argument("--top-p", type=float, default=0.9)
+    p.add_argument("--max-new-tokens", type=int, default=100)
+    args = p.parse_args()
+
+    import jax
+
+    from handsonvlm_tpu.constants import DEFAULT_IMAGE_TOKEN
+    from handsonvlm_tpu.data.conversation import conv_templates
+    from handsonvlm_tpu.data.tokenization import tokenizer_image_token
+    from handsonvlm_tpu.data.video_io import load_image, load_video
+    from handsonvlm_tpu.eval.evaluator import InferenceEngine
+    from handsonvlm_tpu.infer.builder import load_pretrained_model
+    from handsonvlm_tpu.infer.sampler import clip_pred_hands, generate
+    from handsonvlm_tpu.infer.viz import create_trajectory_video
+
+    params, cfg, tokenizer = load_pretrained_model(args.model_path, args.preset)
+
+    # frames: 10 unique, repeated 10x to the 100-slot interface
+    if args.path.endswith((".png", ".jpg", ".jpeg")):
+        frame = load_image(args.path, cache_dir=None)
+        frames = np.tile(frame[None], (10, 1, 1, 1))
+        frame_paths = [args.path] * 10
+    elif args.path.endswith(".mp4"):
+        frames = load_video(args.path, num_frames=10)
+        frame_paths = [args.path]
+    else:
+        raise ValueError(f"unsupported input {args.path}")
+    n_total = cfg.num_frames
+    reps = n_total // frames.shape[0]
+    video = np.tile(frames[None], (reps, 1, 1, 1, 1)).reshape(
+        (n_total,) + frames.shape[1:]
+    )[None]
+
+    conv = conv_templates["v1"].copy()
+    rng = jax.random.PRNGKey(0)
+    first = True
+    while True:
+        try:
+            user_input = input(f"{conv.roles[0]}: ")
+        except EOFError:
+            user_input = ""
+        if not user_input:
+            print("exit...")
+            return
+        if first:
+            user_input = DEFAULT_IMAGE_TOKEN + "\n" + user_input
+            first = False
+        conv.append_message(conv.roles[0], user_input)
+        conv.append_message(conv.roles[1], None)
+        ids = np.asarray(
+            tokenizer_image_token(conv.get_prompt(), tokenizer), np.int64
+        )[None]
+        rng, step_rng = jax.random.split(rng)
+        out = generate(
+            params, cfg, ids, video.astype(np.float32), step_rng,
+            max_new_tokens=args.max_new_tokens,
+            temperature=args.temperature, top_p=args.top_p,
+        )
+        n = int(out.num_tokens[0])
+        text = tokenizer.decode(np.asarray(out.sequences[0, :n]))
+        conv.messages[-1][1] = text
+        print(f"{conv.roles[1]}: {text}")
+        pred, valid = clip_pred_hands(
+            np.asarray(out.pred_hands), np.asarray(out.num_hands)
+        )
+        if valid[0]:
+            if frame_paths[0].endswith(".mp4"):
+                print("trajectory predicted; video overlay requires frame input")
+            else:
+                path = create_trajectory_video(frame_paths, pred[0], args.output_video)
+                print(f"trajectory video written to {path}")
+            return
+
+
+if __name__ == "__main__":
+    main()

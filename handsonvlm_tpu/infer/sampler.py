@@ -261,21 +261,23 @@ def generate(
 
 def clip_pred_hands(pred_hands, num_hands, num_steps: int = 4):
     """Pad/clip decoded waypoints to `num_steps` like the eval harness
-    (handsonvlm_inference.py:110-124): short predictions repeat the last
-    waypoint; long ones truncate."""
+    (handsonvlm_inference.py:117-123): keep the LAST num_steps when longer,
+    zero-pad at the end when shorter. Returns (out (B,2,4,2), valid (B,)) —
+    valid False when no hand token was produced (inference.py:114-116)."""
     import numpy as np
 
     pred = np.asarray(pred_hands)  # (B,2,M,2)
     n = np.asarray(num_hands)
     b = pred.shape[0]
     out = np.zeros((b, 2, num_steps, 2), np.float32)
+    valid = np.zeros((b,), bool)
     for i in range(b):
         k = int(n[i])
         if k == 0:
             continue
+        valid[i] = True
         traj = pred[i, :, :k, :]
-        if k < num_steps:
-            last = traj[:, -1:, :]
-            traj = np.concatenate([traj] + [last] * (num_steps - k), axis=1)
-        out[i] = traj[:, :num_steps, :]
-    return out
+        if k > num_steps:
+            traj = traj[:, -num_steps:, :]
+        out[i, :, : traj.shape[1], :] = traj
+    return out, valid

@@ -227,30 +227,48 @@ def apply_llama(
         positions = jnp.broadcast_to(positions, (b, t))
     cos, sin = rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta)
 
-    def scan_body(hidden, layer_in):
-        lp, layer_kv = layer_in
-        hidden, new_kv = _layer(
-            hidden, lp, cfg, cos, sin, key_mask, q_offset, layer_kv,
+    layer_params = params["layers"]
+
+    if kv_cache is not None:
+        # Cache lives in the scan *carry* and is updated in place with
+        # dynamic_update_slice — XLA aliases the carry across iterations, so
+        # decode touches one cache buffer instead of materialising a second
+        # stacked copy as scan ys would.
+        def scan_body(carry, layer_in):
+            hidden, ck, cv = carry
+            lp, layer_idx = layer_in
+            k_l = jax.lax.dynamic_index_in_dim(ck, layer_idx, 0, keepdims=False)
+            v_l = jax.lax.dynamic_index_in_dim(cv, layer_idx, 0, keepdims=False)
+            hidden, (nk, nv) = _layer(
+                hidden, lp, cfg, cos, sin, key_mask, q_offset, (k_l, v_l),
+                cache_index, attn_impl,
+            )
+            ck = jax.lax.dynamic_update_index_in_dim(ck, nk, layer_idx, 0)
+            cv = jax.lax.dynamic_update_index_in_dim(cv, nv, layer_idx, 0)
+            return (hidden, ck, cv), None
+
+        if remat:
+            scan_body = jax.checkpoint(scan_body)
+        layer_idx = jnp.arange(cfg.num_layers)
+        (hidden, ck, cv), _ = jax.lax.scan(
+            scan_body, (inputs_embeds, kv_cache.k, kv_cache.v),
+            (layer_params, layer_idx),
+        )
+        hidden = rms_norm(hidden, params["final_norm"]["scale"], cfg.rms_norm_eps)
+        return hidden, KVCache(k=ck, v=cv, index=kv_cache.index + t)
+
+    def scan_body(hidden, lp):
+        hidden, _ = _layer(
+            hidden, lp, cfg, cos, sin, key_mask, q_offset, None,
             cache_index, attn_impl,
         )
-        return hidden, new_kv
+        return hidden, None
 
     if remat:
         scan_body = jax.checkpoint(scan_body)
-
-    layer_params = params["layers"]
-    if kv_cache is not None:
-        xs = (layer_params, (kv_cache.k, kv_cache.v))
-    else:
-        xs = (layer_params, None)
-
-    hidden, kv_out = jax.lax.scan(scan_body, inputs_embeds, xs)
+    hidden, _ = jax.lax.scan(scan_body, inputs_embeds, layer_params)
     hidden = rms_norm(hidden, params["final_norm"]["scale"], cfg.rms_norm_eps)
-
-    new_cache = None
-    if kv_cache is not None:
-        new_cache = KVCache(k=kv_out[0], v=kv_out[1], index=kv_cache.index + t)
-    return hidden, new_cache
+    return hidden, None
 
 
 def lm_logits(params, cfg: LlamaConfig, hidden: jnp.ndarray) -> jnp.ndarray:

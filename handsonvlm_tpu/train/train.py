@@ -1,0 +1,144 @@
+"""SFT training entry point.
+
+Replaces `handsonvlm/train/train.py` + `handsonvlm_trainer.py` + the
+DeepSpeed launcher: single-controller JAX over a ('data','model') mesh,
+FSDP-sharded params/optimizer (ZeRO-3 equivalent), Orbax auto-resume,
+host-callback metrics.
+
+Usage (recipe defaults mirror scripts/finetune.sh):
+  python -m handsonvlm_tpu.train.train \
+      --model-path /ckpts/vicuna-7b-init --preset 7b \
+      --output-dir ./runs/handsonvlm-7b --epochs 40 --batch-size 128
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model-path", default="random:tiny",
+                   help="HF init checkpoint dir, orbax dir, or random:<preset>")
+    p.add_argument("--preset", default="7b")
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--ek-version", default="ek100")
+    p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--samples-per-epoch", type=int, default=48296)
+    p.add_argument("--batch-size", type=int, default=128, help="global batch")
+    p.add_argument("--learning-rate", type=float, default=2e-5)
+    p.add_argument("--warmup-ratio", type=float, default=0.03)
+    p.add_argument("--weight-decay", type=float, default=0.0)
+    p.add_argument("--model-axis", type=int, default=1, help="TP axis size")
+    p.add_argument("--rephrase-rate", type=float, default=0.3)
+    p.add_argument("--use-percentage", type=float, default=1.0)
+    p.add_argument("--save-every", type=int, default=0, help="steps; 0 = per epoch")
+    p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--max-steps", type=int, default=0, help="0 = epochs*spe/bs")
+    p.add_argument("--tasks", default="epic_kitchen",
+                   help="|| separated: epic_kitchen, reasoning")
+    args = p.parse_args()
+
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from handsonvlm_tpu.core.checkpoint import restore_train_state, save_train_state
+    from handsonvlm_tpu.data.epic_dataset import (
+        EpicConversationDataset,
+        EpicMultiturnConversationDataset,
+        EpicReasoningConversationDataset,
+    )
+    from handsonvlm_tpu.data.epic_structures import get_epic_hoi_dataset_by_name
+    from handsonvlm_tpu.data.hybrid_dataset import Collator, HybridDataset
+    from handsonvlm_tpu.infer.builder import load_pretrained_model
+    from handsonvlm_tpu.parallel.mesh import create_mesh
+    from handsonvlm_tpu.parallel.partition import shard_params
+    from handsonvlm_tpu.train.loader import PrefetchLoader
+    from handsonvlm_tpu.train.step import make_train_step
+    from handsonvlm_tpu.train.train_state import (
+        cosine_schedule,
+        create_train_state,
+        make_optimizer,
+    )
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    mesh = create_mesh(model=args.model_axis)
+    print(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} devices")
+
+    params, cfg, tokenizer = load_pretrained_model(args.model_path, args.preset)
+    params = shard_params(params, mesh)
+
+    steps_per_epoch = max(args.samples_per_epoch // args.batch_size, 1)
+    total_steps = args.max_steps or args.epochs * steps_per_epoch
+    sched = cosine_schedule(args.learning_rate, total_steps, args.warmup_ratio)
+    tx = make_optimizer(sched, weight_decay=args.weight_decay, params_template=params)
+    state = create_train_state(params, tx)
+
+    ckpt_dir = os.path.join(args.output_dir, "checkpoints")
+    restored = restore_train_state(ckpt_dir, state)
+    if restored is not None:
+        state = restored
+        print(f"resumed from step {int(state.step)}")
+
+    # data
+    hoi = get_epic_hoi_dataset_by_name(
+        args.ek_version, "train", load_images=True,
+        rephrase_rate=args.rephrase_rate, use_percentage=args.use_percentage,
+    )
+    task_datasets = []
+    tasks = args.tasks.split("||")
+    group = []
+    if "epic_kitchen" in tasks:
+        group.append(EpicMultiturnConversationDataset(tokenizer, hoi))
+    if "reasoning" in tasks:
+        group.append(EpicReasoningConversationDataset(tokenizer, hoi))
+    if not group:
+        group.append(EpicConversationDataset(tokenizer, hoi))
+    task_datasets.append(group)
+    hybrid = HybridDataset(
+        task_datasets=task_datasets, task_sample_rate=[1.0],
+        samples_per_epoch=args.samples_per_epoch,
+    )
+    collate = Collator(
+        pad_token_id=tokenizer.pad_token_id,
+        model_max_length=cfg.max_length,
+        num_frames=cfg.num_frames,
+    )
+    batch_sharding = NamedSharding(mesh, P("data"))
+    loader = PrefetchLoader(
+        hybrid, collate, args.batch_size,
+        num_steps=total_steps - int(state.step), sharding=batch_sharding,
+    )
+
+    step_fn = make_train_step(cfg, tx)
+    rng = jax.random.PRNGKey(0)
+    save_every = args.save_every or steps_per_epoch
+    metrics_log = open(os.path.join(args.output_dir, "metrics.jsonl"), "a")
+
+    t0 = time.time()
+    for batch in loader:
+        state, metrics = step_fn(state, batch, rng)
+        step = int(state.step)
+        if step % args.log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            m.update(step=step, lr=float(sched(step)),
+                     sec_per_step=(time.time() - t0) / max(args.log_every, 1))
+            t0 = time.time()
+            print(json.dumps(m))
+            metrics_log.write(json.dumps(m) + "\n")
+            metrics_log.flush()
+        if step % save_every == 0 or step >= total_steps:
+            save_train_state(ckpt_dir, state, step)
+            print(f"saved checkpoint at step {step}")
+        if step >= total_steps:
+            break
+    save_train_state(ckpt_dir, state, int(state.step))
+    print("training complete")
+
+
+if __name__ == "__main__":
+    main()

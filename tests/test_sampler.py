@@ -140,13 +140,15 @@ def test_top_p_warper_matches_hf():
 
 
 def test_clip_pred_hands():
+    # reference semantics: short -> zero-pad; long -> keep last 4
     pred = np.zeros((1, 2, 10, 2), np.float32)
-    pred[0, :, 0] = 1.0
-    pred[0, :, 1] = 2.0
-    out = clip_pred_hands(pred, np.array([2]), num_steps=4)
-    assert out.shape == (1, 2, 4, 2)
-    np.testing.assert_allclose(out[0, 0, :, 0], [1, 2, 2, 2])
-    out6 = clip_pred_hands(np.ones((1, 2, 10, 2)), np.array([6]), num_steps=4)
-    np.testing.assert_allclose(out6[0], 1.0)
-    out0 = clip_pred_hands(pred, np.array([0]), num_steps=4)
+    for k in range(6):
+        pred[0, :, k] = k + 1.0
+    out, valid = clip_pred_hands(pred, np.array([2]), num_steps=4)
+    assert out.shape == (1, 2, 4, 2) and valid[0]
+    np.testing.assert_allclose(out[0, 0, :, 0], [1, 2, 0, 0])
+    out6, _ = clip_pred_hands(pred, np.array([6]), num_steps=4)
+    np.testing.assert_allclose(out6[0, 0, :, 0], [3, 4, 5, 6])
+    out0, valid0 = clip_pred_hands(pred, np.array([0]), num_steps=4)
     np.testing.assert_allclose(out0, 0.0)
+    assert not valid0[0]
