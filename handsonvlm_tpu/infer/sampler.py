@@ -259,6 +259,135 @@ def generate(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "temperature", "top_p", "attn_impl"),
+    donate_argnums=(2,),
+)
+def decode_step(
+    params,
+    cfg: HandsOnVLMConfig,
+    cache: KVCache,
+    cache_mask: jnp.ndarray,
+    cur_token: jnp.ndarray,  # (B,)
+    cur_waypoint: jnp.ndarray,  # (B,2,2)
+    rng: jax.Array,
+    *,
+    temperature: float = 0.5,
+    top_p: float = 0.9,
+    attn_impl: str = "auto",
+):
+    """One cached decode step (host-driven loop variant).
+
+    Compiles in seconds even at 7B (no giant while-loop program); the host
+    drives token-by-token, paying one dispatch per step. Used by
+    generate_host for environments where compiling the fused device loop is
+    impractical; math identical to the device loop.
+    """
+    r_tok, r_hand = jax.random.split(rng)
+    emb = embed_next_token(params, cfg, cur_token, cur_waypoint)
+    hidden, cache = apply_llama(
+        params["llama"], cfg.llama, inputs_embeds=emb[:, None, :],
+        attn_mask=cache_mask, kv_cache=cache, attn_impl=attn_impl,
+    )
+    h = hidden[:, 0, :]
+    logits = lm_logits(params["llama"], cfg.llama, h[:, None, :])[:, 0]
+    token = _sample_token(r_tok, logits, temperature, top_p)
+    waypoint = decode_hand_waypoint(params, cfg, h, r_hand)
+    return token, waypoint, cache
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "temperature", "top_p", "attn_impl"),
+)
+def _first_token(params, cfg, last_hidden, rng, *, temperature, top_p, attn_impl="auto"):
+    r_tok, r_hand = jax.random.split(rng)
+    logits = lm_logits(params["llama"], cfg.llama, last_hidden[:, None, :])[:, 0]
+    token = _sample_token(r_tok, logits, temperature, top_p)
+    waypoint = decode_hand_waypoint(params, cfg, last_hidden, r_hand)
+    return token, waypoint
+
+
+def generate_host(
+    params,
+    cfg: HandsOnVLMConfig,
+    input_ids,
+    images,
+    rng: jax.Array,
+    *,
+    max_new_tokens: int = 100,
+    max_len: int = 0,
+    temperature: float = 0.5,
+    top_p: float = 0.9,
+    eos_token_id: int = EOS_TOKEN_ID,
+    attn_impl: str = "auto",
+) -> SampleOutput:
+    """Host-driven generate: jitted prefill + jitted per-token step.
+
+    Mirrors the reference sample() control flow (handsonvlm.py:543-647) with
+    a KV cache; produces the same SampleOutput as `generate`.
+    """
+    import numpy as np
+
+    input_ids = jnp.asarray(input_ids)
+    b = input_ids.shape[0]
+    t_prompt = input_ids.shape[1] + cfg.num_visual_tokens - 1
+    if max_len == 0:
+        max_len = t_prompt + max_new_tokens + 1
+
+    prefill_fn = jax.jit(
+        functools.partial(prefill, attn_impl=attn_impl),
+        static_argnames=("cfg", "max_len"),
+    )
+    last_hidden, cache, cache_mask = prefill_fn(
+        params, cfg=cfg, input_ids=input_ids, images=jnp.asarray(images),
+        max_len=max_len,
+    )
+
+    rng, r0 = jax.random.split(rng)
+    token, waypoint = _first_token(
+        params, cfg, last_hidden, r0, temperature=temperature, top_p=top_p,
+    )
+
+    tokens = np.zeros((b, max_new_tokens), np.int32)
+    num_tokens = np.zeros((b,), np.int32)
+    pred_hands = np.zeros((b, MAX_HAND_STEPS, 2, 2), np.float32)
+    num_hands = np.zeros((b,), np.int32)
+    finished = np.zeros((b,), bool)
+
+    def record(step, token_h, waypoint_h):
+        nonlocal finished
+        tok = np.where(finished, PAD_TOKEN_ID, token_h)
+        tokens[:, step] = tok
+        num_tokens[:] += (~finished).astype(np.int32)
+        is_hand = (tok == cfg.hand_token_id) & ~finished
+        for i in np.nonzero(is_hand)[0]:
+            slot = min(num_hands[i], MAX_HAND_STEPS - 1)
+            pred_hands[i, slot] = waypoint_h[i]
+            num_hands[i] += 1
+        finished = finished | (tok == eos_token_id)
+        return tok
+
+    tok_h = record(0, np.asarray(token), np.asarray(waypoint))
+    step = 1
+    while step < max_new_tokens and not finished.all():
+        rng, r_step = jax.random.split(rng)
+        # `waypoint` was decoded at the same step tok_h was sampled — it is
+        # exactly the coordinate embedded when tok_h is a <hand_traj> input
+        token, waypoint, cache = decode_step(
+            params, cfg, cache, cache_mask, jnp.asarray(tok_h), waypoint,
+            r_step, temperature=temperature, top_p=top_p, attn_impl=attn_impl,
+        )
+        tok_h = record(step, np.asarray(token), np.asarray(waypoint))
+        step += 1
+
+    return SampleOutput(
+        sequences=jnp.asarray(tokens),
+        num_tokens=jnp.asarray(num_tokens),
+        pred_hands=jnp.asarray(pred_hands.transpose(0, 2, 1, 3)),
+        num_hands=jnp.asarray(num_hands),
+    )
+
+
 def clip_pred_hands(pred_hands, num_hands, num_steps: int = 4):
     """Pad/clip decoded waypoints to `num_steps` like the eval harness
     (handsonvlm_inference.py:117-123): keep the LAST num_steps when longer,
