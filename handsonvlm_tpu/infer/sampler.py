@@ -259,6 +259,11 @@ def generate(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "max_len", "attn_impl"))
+def _prefill_jit(params, cfg, input_ids, images, max_len, attn_impl):
+    return prefill(params, cfg, input_ids, images, max_len, attn_impl=attn_impl)
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "temperature", "top_p", "attn_impl"),
     donate_argnums=(2,),
@@ -334,13 +339,8 @@ def generate_host(
     if max_len == 0:
         max_len = t_prompt + max_new_tokens + 1
 
-    prefill_fn = jax.jit(
-        functools.partial(prefill, attn_impl=attn_impl),
-        static_argnames=("cfg", "max_len"),
-    )
-    last_hidden, cache, cache_mask = prefill_fn(
-        params, cfg=cfg, input_ids=input_ids, images=jnp.asarray(images),
-        max_len=max_len,
+    last_hidden, cache, cache_mask = _prefill_jit(
+        params, cfg, input_ids, jnp.asarray(images), max_len, attn_impl
     )
 
     rng, r0 = jax.random.split(rng)
