@@ -1,0 +1,198 @@
+"""Model worker: serves generate requests, heartbeats to the controller.
+
+Behavioral spec from `llava/serve/model_worker.py:36-282`: register with the
+controller on start, heartbeat every 15 s with the current queue length,
+bound concurrency with a semaphore, expose status + generate endpoints.
+stdlib http server (no fastapi in this environment).
+
+Endpoints:
+  /worker_get_status  -> {model_names, speed, queue_length}
+  /worker_generate    {prompt, image_b64?, temperature, top_p,
+                       max_new_tokens} -> {text, pred_hands, num_hands}
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+import time
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from handsonvlm_tpu.serve.controller import WORKER_HEART_BEAT_INTERVAL
+
+
+def _post(url: str, payload: dict, timeout: float = 5.0) -> dict:
+    req = urllib.request.Request(
+        url, json.dumps(payload).encode(), {"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+class ModelWorker:
+    def __init__(
+        self,
+        controller_addr: Optional[str],
+        worker_addr: str,
+        model_path: str,
+        preset: str = "7b",
+        model_name: Optional[str] = None,
+        limit_concurrency: int = 2,
+    ):
+        self.controller_addr = controller_addr
+        self.worker_addr = worker_addr
+        self.model_name = model_name or model_path.rstrip("/").split("/")[-1]
+        self.semaphore = threading.Semaphore(limit_concurrency)
+        self.queue_length = 0
+        self.lock = threading.Lock()
+        self._stop = threading.Event()
+
+        from handsonvlm_tpu.eval.evaluator import InferenceEngine
+        from handsonvlm_tpu.infer.builder import load_pretrained_model
+
+        params, cfg, tokenizer = load_pretrained_model(model_path, preset)
+        self.engine = InferenceEngine(params=params, cfg=cfg, tokenizer=tokenizer)
+        self.cfg = cfg
+        self._seed = 0
+
+        if controller_addr:
+            self.register()
+            self._hb = threading.Thread(target=self._heartbeat_loop, daemon=True)
+            self._hb.start()
+
+    def status(self) -> dict:
+        return {
+            "model_names": [self.model_name],
+            "speed": 1,
+            "queue_length": self.queue_length,
+        }
+
+    def register(self):
+        _post(
+            self.controller_addr + "/register_worker",
+            {
+                "worker_name": self.worker_addr,
+                "check_heart_beat": True,
+                "worker_status": self.status(),
+            },
+        )
+
+    def _heartbeat_loop(self):
+        while not self._stop.wait(WORKER_HEART_BEAT_INTERVAL):
+            try:
+                r = _post(
+                    self.controller_addr + "/receive_heart_beat",
+                    {"worker_name": self.worker_addr, "queue_length": self.queue_length},
+                )
+                if not r.get("exist"):
+                    self.register()
+            except Exception as e:  # noqa: BLE001 — keep heartbeating
+                print(f"heartbeat error: {e}")
+
+    def stop(self):
+        self._stop.set()
+
+    def generate(self, payload: dict) -> dict:
+        import jax
+
+        with self.lock:
+            self.queue_length += 1
+        self.semaphore.acquire()
+        try:
+            prompt = payload["prompt"]
+            if "image_b64" in payload and payload["image_b64"]:
+                from PIL import Image
+
+                from handsonvlm_tpu.data.video_io import clip_preprocess
+
+                img = Image.open(io.BytesIO(base64.b64decode(payload["image_b64"])))
+                frame = clip_preprocess(img)
+                frames = np.tile(frame[None], (self.cfg.num_frames, 1, 1, 1))
+            else:
+                frames = np.zeros(
+                    (self.cfg.num_frames, 3, self.cfg.vision.image_size, self.cfg.vision.image_size),
+                    np.float32,
+                )
+            self.engine.temperature = float(payload.get("temperature", 0.5))
+            self.engine.top_p = float(payload.get("top_p", 0.9))
+            self.engine.max_new_tokens = int(payload.get("max_new_tokens", 100))
+            self._seed += 1
+            pred, valid, gen_ids = self.engine.infer(
+                prompt, frames[None], jax.random.PRNGKey(self._seed)
+            )
+            text = (
+                self.engine.tokenizer.decode(gen_ids)
+                if hasattr(self.engine.tokenizer, "decode")
+                else ""
+            )
+            return {
+                "text": text,
+                "pred_hands": pred.tolist(),
+                "trajectory_valid": bool(valid[0]),
+                "error_code": 0,
+            }
+        finally:
+            self.semaphore.release()
+            with self.lock:
+                self.queue_length -= 1
+
+
+def serve_worker(worker: ModelWorker, host: str, port: int):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _json(self, code, payload):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            data = json.loads(self.rfile.read(length) or b"{}")
+            if self.path == "/worker_get_status":
+                self._json(200, worker.status())
+            elif self.path == "/worker_generate":
+                try:
+                    self._json(200, worker.generate(data))
+                except Exception as e:  # noqa: BLE001
+                    self._json(500, {"error": str(e), "error_code": 1})
+            else:
+                self._json(404, {"error": "unknown path"})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=40000)
+    p.add_argument("--controller", default="http://localhost:10000")
+    p.add_argument("--worker-address", default=None)
+    p.add_argument("--model-path", required=True)
+    p.add_argument("--preset", default="7b")
+    p.add_argument("--limit-model-concurrency", type=int, default=2)
+    args = p.parse_args()
+    addr = args.worker_address or f"http://localhost:{args.port}"
+    worker = ModelWorker(
+        args.controller, addr, args.model_path, args.preset,
+        limit_concurrency=args.limit_model_concurrency,
+    )
+    server = serve_worker(worker, args.host, args.port)
+    print(f"worker {addr} serving {worker.model_name}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Serving stack: controller registry/dispatch/heartbeat + worker e2e."""
+
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from handsonvlm_tpu.serve import controller as ctrl_mod
+from handsonvlm_tpu.serve.controller import Controller, serve_controller
+
+
+def _post(url, payload, timeout=10.0):
+    req = urllib.request.Request(
+        url, json.dumps(payload).encode(), {"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def test_controller_registry_and_dispatch():
+    c = Controller("shortest_queue")
+    try:
+        status = {"model_names": ["handsonvlm-7b"], "speed": 1, "queue_length": 0}
+        assert c.register_worker("http://w1", True, status)
+        assert c.register_worker("http://w2", True, dict(status, queue_length=5))
+        assert c.list_models() == ["handsonvlm-7b"]
+        # shortest queue picks w1
+        assert c.get_worker_address("handsonvlm-7b") == "http://w1"
+        assert c.get_worker_address("unknown-model") == ""
+        # heartbeats update queue length
+        assert c.receive_heart_beat("http://w1", 10)
+        assert not c.receive_heart_beat("http://nope", 0)
+        assert c.get_worker_address("handsonvlm-7b") == "http://w2"
+    finally:
+        c.stop()
+
+
+def test_controller_expiry(monkeypatch):
+    c = Controller("lottery")
+    try:
+        status = {"model_names": ["m"], "speed": 1, "queue_length": 0}
+        c.register_worker("http://w1", True, status)
+        c.worker_info["http://w1"].last_heart_beat = time.time() - 100
+        c.remove_stale_workers_by_expiration()
+        assert c.list_models() == []
+    finally:
+        c.stop()
+
+
+def test_http_roundtrip_controller():
+    controller, server = serve_controller("127.0.0.1", 0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        r = _post(base + "/register_worker", {
+            "worker_name": "http://wA",
+            "check_heart_beat": True,
+            "worker_status": {"model_names": ["tiny"], "speed": 1, "queue_length": 0},
+        })
+        assert r["ok"]
+        assert _post(base + "/list_models", {})["models"] == ["tiny"]
+        assert _post(base + "/get_worker_address", {"model": "tiny"})["address"] == "http://wA"
+        assert _post(base + "/receive_heart_beat", {"worker_name": "http://wA", "queue_length": 2})["exist"]
+        st = _post(base + "/worker_get_status", {})
+        assert st["model_names"] == ["tiny"] and st["queue_length"] == 2
+    finally:
+        server.shutdown()
+        controller.stop()
+
+
+def test_worker_generate_e2e():
+    """Full loop: controller + tiny-model worker + generate request."""
+    from handsonvlm_tpu.serve.model_worker import ModelWorker, serve_worker
+
+    controller, ctrl_server = serve_controller("127.0.0.1", 0)
+    ctrl_port = ctrl_server.server_address[1]
+    threading.Thread(target=ctrl_server.serve_forever, daemon=True).start()
+    ctrl_addr = f"http://127.0.0.1:{ctrl_port}"
+
+    worker = ModelWorker(
+        ctrl_addr, "http://127.0.0.1:0", "random:tiny", preset="tiny",
+        model_name="handsonvlm-tiny",
+    )
+    w_server = serve_worker(worker, "127.0.0.1", 0)
+    w_port = w_server.server_address[1]
+    threading.Thread(target=w_server.serve_forever, daemon=True).start()
+    try:
+        addr = _post(ctrl_addr + "/get_worker_address", {"model": "handsonvlm-tiny"})["address"]
+        assert addr  # registered at startup
+        out = _post(
+            f"http://127.0.0.1:{w_port}/worker_generate",
+            {"prompt": "Where should my hand move?", "max_new_tokens": 4},
+            timeout=300,
+        )
+        assert out["error_code"] == 0
+        assert isinstance(out["text"], str)
+        assert np.asarray(out["pred_hands"]).shape == (1, 2, 4, 2)
+    finally:
+        w_server.shutdown()
+        ctrl_server.shutdown()
+        worker.stop()
+        controller.stop()
