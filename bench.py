@@ -82,7 +82,7 @@ def main():
     import jax.numpy as jnp
 
     from handsonvlm_tpu.data.mock_tokenizer import MockTokenizer
-    from handsonvlm_tpu.infer.sampler import generate, generate_host
+    from handsonvlm_tpu.infer.sampler import generate_chunked
     from handsonvlm_tpu.models.handsonvlm import forward, init_handsonvlm
     from handsonvlm_tpu.models.llama import apply_llama, lm_logits
     from handsonvlm_tpu.models.handsonvlm import encode_video, splice_visual_tokens
@@ -105,13 +105,15 @@ def main():
     )
 
     # ---- cached decode (this framework) ----
-    # host-driven step loop: identical math to the fused device loop (see
-    # tests/test_sampler_host.py); compiles in seconds even at 7B, which
-    # matters under this environment's remote-compile tunnel
+    # chunked decode: K cached steps per dispatch (identical math to the
+    # fused device loop, tests/test_sampler_chunked.py); amortizes host
+    # dispatch without the fused while-loop's heavy 7B compile
+    chunk = int(os.environ.get("HANDSONVLM_BENCH_CHUNK", "16"))
+
     def run(seed):
-        return generate_host(
+        return generate_chunked(
             params, cfg, ids_j, images, jax.random.PRNGKey(seed),
-            max_new_tokens=max_new, temperature=0.5, top_p=0.9,
+            max_new_tokens=max_new, temperature=0.5, top_p=0.9, chunk=chunk,
         )
 
     out = run(0)

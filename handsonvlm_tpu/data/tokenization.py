@@ -152,6 +152,92 @@ def preprocess_v1(
     return {"input_ids": input_ids, "labels": targets}
 
 
+def preprocess_plain(
+    sources: Sequence[Sequence[Dict[str, str]]], tokenizer: Tokenizer
+) -> Dict[str, np.ndarray]:
+    """Projector-pretraining format (base_dataset.py:321-337): prompt is the
+    bare <image> token; everything before the caption is masked."""
+    ids_list, label_list = [], []
+    for source in sources:
+        assert len(source) == 2
+        assert DEFAULT_IMAGE_TOKEN in source[0]["value"]
+        prompt = DEFAULT_IMAGE_TOKEN + source[1]["value"] + "\n"
+        ids = tokenizer_image_token(prompt, tokenizer)
+        labels = list(ids)
+        masked = len(tokenizer_image_token(DEFAULT_IMAGE_TOKEN, tokenizer))
+        labels[:masked] = [IGNORE_INDEX] * masked
+        ids_list.append(ids)
+        label_list.append(labels)
+    max_len = max(len(x) for x in ids_list)
+    input_ids = np.full((len(ids_list), max_len), tokenizer.pad_token_id, np.int64)
+    labels = np.full((len(ids_list), max_len), IGNORE_INDEX, np.int64)
+    for i, (ids, lab) in enumerate(zip(ids_list, label_list)):
+        input_ids[i, : len(ids)] = ids
+        labels[i, : len(lab)] = lab
+    return {"input_ids": input_ids, "labels": labels}
+
+
+def preprocess_llama_2(
+    sources: Sequence[Sequence[Dict[str, str]]],
+    tokenizer: Tokenizer,
+    has_image: bool = False,
+) -> Dict[str, np.ndarray]:
+    """LLAMA_2 [INST] format (base_dataset.py:183-255 llama_2 variant):
+    same split/offset arithmetic with sep '[/INST] ' and sep2 '</s>'."""
+    conv = conv_templates["llama_2"]
+    conversations = [build_conversation_prompt(s, conv) for s in sources]
+    if has_image:
+        ids_list = [tokenizer_image_token(p, tokenizer) for p in conversations]
+    else:
+        ids_list = [tokenizer.encode(p)[: tokenizer.model_max_length] for p in conversations]
+    max_len = max(len(x) for x in ids_list)
+    b = len(ids_list)
+    input_ids = np.full((b, max_len), tokenizer.pad_token_id, np.int64)
+    for i, ids in enumerate(ids_list):
+        input_ids[i, : len(ids)] = ids
+    targets = input_ids.copy()
+
+    sep = "[/INST] "
+    for conversation, target, ids in zip(conversations, targets, ids_list):
+        total_len = len(ids)
+        rounds = conversation.split(conv.sep2)
+        cur_len = 1
+        target[:cur_len] = IGNORE_INDEX
+        for rou in rounds:
+            if rou == "":
+                break
+            parts = rou.split(sep)
+            if len(parts) != 2:
+                break
+            parts[0] += sep
+            if has_image:
+                round_len = len(tokenizer_image_token(rou, tokenizer))
+                instruction_len = len(tokenizer_image_token(parts[0], tokenizer)) - 2
+            else:
+                round_len = len(tokenizer.encode(rou))
+                instruction_len = len(tokenizer.encode(parts[0])) - 2
+            target[cur_len : cur_len + instruction_len] = IGNORE_INDEX
+            cur_len += round_len
+        target[cur_len:] = IGNORE_INDEX
+        if cur_len < tokenizer.model_max_length and cur_len != total_len:
+            target[:] = IGNORE_INDEX
+    return {"input_ids": input_ids, "labels": targets}
+
+
+def preprocess(
+    sources, tokenizer: Tokenizer, has_image: bool = False, conv: Conversation = None
+) -> Dict[str, np.ndarray]:
+    """Dispatch on the conversation style (base_dataset.py:340-355)."""
+    conv = conv or conv_templates["v1"]
+    if conv.sep_style == SeparatorStyle.PLAIN:
+        return preprocess_plain(sources, tokenizer)
+    if conv.sep_style == SeparatorStyle.LLAMA_2:
+        return preprocess_llama_2(sources, tokenizer, has_image)
+    if conv.version.startswith("v1"):
+        return preprocess_v1(sources, tokenizer, has_image, conv)
+    raise NotImplementedError(f"unsupported conversation style {conv.version}")
+
+
 # ---------------------------------------------------------------------------
 # HF tokenizer wrapper (the real path; requires a local Vicuna tokenizer)
 # ---------------------------------------------------------------------------

@@ -312,6 +312,151 @@ def _first_token(params, cfg, last_hidden, rng, *, temperature, top_p, attn_impl
     return token, waypoint
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "k", "temperature", "top_p", "attn_impl"),
+    donate_argnums=(2,),
+)
+def decode_chunk(
+    params,
+    cfg: HandsOnVLMConfig,
+    cache: KVCache,
+    cache_mask: jnp.ndarray,
+    cur_token: jnp.ndarray,  # (B,)
+    cur_waypoint: jnp.ndarray,  # (B,2,2)
+    finished: jnp.ndarray,  # (B,) bool
+    rng: jax.Array,
+    *,
+    k: int,
+    temperature: float = 0.5,
+    top_p: float = 0.9,
+    attn_impl: str = "auto",
+    eos_token_id: int = EOS_TOKEN_ID,
+):
+    """Run k cached decode steps in one dispatch (fori_loop body compiles
+    once). Middle ground between the per-token host loop (dispatch-latency
+    bound) and the full fused while_loop (heavy to compile at 7B over a
+    remote-compile tunnel). RNG split order matches generate_host exactly.
+
+    Returns (cache, cur_token, cur_waypoint, finished, rng, tokens (B,k),
+    waypoints (B,k,2,2), is_hand (B,k))."""
+    b = cur_token.shape[0]
+
+    def body(i, state):
+        cache, tok, wp, fin, rng, tokens, wps, hands = state
+        rng, r_step = jax.random.split(rng)
+        r_tok, r_hand = jax.random.split(r_step)
+        emb = embed_next_token(params, cfg, tok, wp)
+        hidden, cache = apply_llama(
+            params["llama"], cfg.llama, inputs_embeds=emb[:, None, :],
+            attn_mask=cache_mask, kv_cache=cache, attn_impl=attn_impl,
+        )
+        h = hidden[:, 0, :]
+        logits = lm_logits(params["llama"], cfg.llama, h[:, None, :])[:, 0]
+        ntok = _sample_token(r_tok, logits, temperature, top_p)
+        nwp = decode_hand_waypoint(params, cfg, h, r_hand)
+        ntok = jnp.where(fin, PAD_TOKEN_ID, ntok)
+        tokens = tokens.at[:, i].set(ntok)
+        wps = wps.at[:, i].set(nwp)
+        hands = hands.at[:, i].set((ntok == cfg.hand_token_id) & ~fin)
+        fin = fin | (ntok == eos_token_id)
+        return (cache, ntok, nwp, fin, rng, tokens, wps, hands)
+
+    init = (
+        cache, cur_token, cur_waypoint, finished, rng,
+        jnp.zeros((b, k), jnp.int32),
+        jnp.zeros((b, k, 2, 2), jnp.float32),
+        jnp.zeros((b, k), bool),
+    )
+    return jax.lax.fori_loop(0, k, body, init)
+
+
+def generate_chunked(
+    params,
+    cfg: HandsOnVLMConfig,
+    input_ids,
+    images,
+    rng: jax.Array,
+    *,
+    max_new_tokens: int = 100,
+    max_len: int = 0,
+    chunk: int = 16,
+    temperature: float = 0.5,
+    top_p: float = 0.9,
+    eos_token_id: int = EOS_TOKEN_ID,
+    attn_impl: str = "auto",
+) -> SampleOutput:
+    """Prefill + chunked decode. Same outputs as generate/generate_host."""
+    import numpy as np
+
+    input_ids = jnp.asarray(input_ids)
+    b = input_ids.shape[0]
+    t_prompt = input_ids.shape[1] + cfg.num_visual_tokens - 1
+    n_chunks = -(-(max_new_tokens - 1) // chunk)
+    if max_len == 0:
+        # full chunks may run past max_new_tokens; size the cache for them
+        max_len = t_prompt + 1 + n_chunks * chunk + 1
+
+    last_hidden, cache, cache_mask = _prefill_jit(
+        params, cfg, input_ids, jnp.asarray(images), max_len, attn_impl
+    )
+    rng, r0 = jax.random.split(rng)
+    token, waypoint = _first_token(
+        params, cfg, last_hidden, r0, temperature=temperature, top_p=top_p,
+    )
+
+    all_tokens = [np.asarray(token)[:, None]]
+    all_wps = [np.asarray(waypoint)[:, None]]
+    all_hands = [(np.asarray(token) == cfg.hand_token_id)[:, None]]
+    finished_h = np.asarray(token) == eos_token_id
+    finished = jnp.asarray(finished_h)
+
+    produced = 1
+    while produced < max_new_tokens and not finished_h.all():
+        (cache, token, waypoint, finished, rng, tokens, wps, hands) = decode_chunk(
+            params, cfg, cache, cache_mask, token, waypoint, finished, rng,
+            k=chunk, temperature=temperature, top_p=top_p, attn_impl=attn_impl,
+            eos_token_id=eos_token_id,
+        )
+        take = min(chunk, max_new_tokens - produced)
+        all_tokens.append(np.asarray(tokens)[:, :take])
+        all_wps.append(np.asarray(wps)[:, :take])
+        all_hands.append(np.asarray(hands)[:, :take])
+        finished_h = np.asarray(finished)
+        produced += take
+
+    tokens = np.concatenate(all_tokens, axis=1)
+    wps = np.concatenate(all_wps, axis=1)
+    hands = np.concatenate(all_hands, axis=1)
+    if tokens.shape[1] < max_new_tokens:
+        pad = max_new_tokens - tokens.shape[1]
+        tokens = np.pad(tokens, ((0, 0), (0, pad)))
+        wps = np.pad(wps, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        hands = np.pad(hands, ((0, 0), (0, pad)))
+
+    # post-process: num_tokens up to (and incl.) EOS; hand slots in order
+    num_tokens = np.zeros((b,), np.int32)
+    pred_hands = np.zeros((b, MAX_HAND_STEPS, 2, 2), np.float32)
+    num_hands = np.zeros((b,), np.int32)
+    for i in range(b):
+        row = tokens[i]
+        eos_pos = np.nonzero(row == eos_token_id)[0]
+        n = int(eos_pos[0]) + 1 if eos_pos.size else max_new_tokens
+        num_tokens[i] = n
+        tokens[i, n:] = PAD_TOKEN_ID
+        for j in np.nonzero(hands[i, :n])[0]:
+            slot = min(num_hands[i], MAX_HAND_STEPS - 1)
+            pred_hands[i, slot] = wps[i, j]
+            num_hands[i] += 1
+
+    return SampleOutput(
+        sequences=jnp.asarray(tokens),
+        num_tokens=jnp.asarray(num_tokens),
+        pred_hands=jnp.asarray(pred_hands.transpose(0, 2, 1, 3)),
+        num_hands=jnp.asarray(num_hands),
+    )
+
+
 def generate_host(
     params,
     cfg: HandsOnVLMConfig,
