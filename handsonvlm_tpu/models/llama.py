@@ -162,9 +162,12 @@ def _layer(
         keys_, vals_ = kx, vx
         new_kv = (kx, vx)
 
+    decode_length = None
+    if layer_kv is not None and t == 1:
+        decode_length = cache_index + t
     out = attention(
         q, keys_, vals_, key_mask=key_mask, causal=True, q_offset=q_offset,
-        impl=attn_impl,
+        impl=attn_impl, decode_length=decode_length,
     )
     hidden = hidden + out.reshape(b, t, h * hd) @ lp["attn"]["wo"]
 

@@ -81,10 +81,18 @@ def attention(
     causal: bool = True,
     q_offset=0,
     impl: str = "auto",
+    decode_length=None,
 ) -> jnp.ndarray:
-    """Attention entry point used by all models."""
+    """Attention entry point used by all models.
+
+    `decode_length` (valid cache positions, = q_offset + T) enables the
+    Pallas single-query decode kernel for cached T==1 steps."""
     if impl == "auto":
-        impl = _best_impl(q)
+        impl = _best_impl(q, decode_length)
+    if impl == "decode":
+        from handsonvlm_tpu.ops.decode_attention import decode_attention
+
+        return decode_attention(q, k, v, decode_length, key_mask=key_mask)
     if impl == "flash":
         from handsonvlm_tpu.ops.flash_attention import flash_attention
 
@@ -94,12 +102,16 @@ def attention(
     return attention_xla(q, k, v, key_mask=key_mask, causal=causal, q_offset=q_offset)
 
 
-def _best_impl(q: jnp.ndarray) -> str:
+def _best_impl(q: jnp.ndarray, decode_length=None) -> str:
     try:
         platform = jax.devices()[0].platform
     except Exception:  # pragma: no cover
         platform = "cpu"
     b, t, h, d = q.shape
-    if platform == "tpu" and t >= 128 and d in (64, 128, 256):
+    if platform != "tpu":
+        return "xla"
+    if t == 1 and decode_length is not None and d % 8 == 0:
+        return "decode"
+    if t >= 128 and d in (64, 128, 256):
         return "flash"
     return "xla"

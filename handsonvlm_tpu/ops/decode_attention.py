@@ -1,0 +1,169 @@
+"""Pallas KV-cache decode attention (single-query flash attention).
+
+The second kernel from the build plan (SURVEY.md §7 "kernels/: ...
+kv_cache_decode_attn"). One query position attends over a long cache:
+
+- operates directly on the cache layout (B, S, K, D) — no per-step
+  transposes of the 0.5 GB cache;
+- all heads of one batch element are processed together: the (H, D) query
+  block multiplies each (block_k, D) key block per head group, keeping the
+  MXU busy even at batch 1;
+- blocks whose positions are entirely >= the cache length are skipped via
+  the blockwise online-softmax predicate, so cost tracks the *filled*
+  cache, not the allocation.
+
+Numerics: fp32 online softmax, identical results to ops.attention (tested).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+DEFAULT_BLOCK_K = 256
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _interpret() -> bool:
+    try:
+        return jax.devices()[0].platform != "tpu"
+    except Exception:  # pragma: no cover
+        return True
+
+
+def _decode_kernel(
+    length_ref,  # SMEM (1,1) int32: number of valid cache positions
+    q_ref,  # (1, H, D)
+    k_ref,  # (1, block_k, K, D)
+    v_ref,  # (1, block_k, K, D)
+    mask_ref,  # (1, 1, block_k) int32
+    out_ref,  # (1, H, D)
+    acc_ref,  # scratch (H, D) f32
+    m_ref,  # scratch (H, 1) f32
+    l_ref,  # scratch (H, 1) f32
+    *,
+    scale: float,
+    block_k: int,
+    groups: int,  # H // K query heads per kv head
+):
+    ki = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    length = length_ref[0, 0]
+    run = ki * block_k < length
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)  # (H, D)
+        k = k_ref[0].astype(jnp.float32)  # (bk, K, D)
+        v = v_ref[0].astype(jnp.float32)
+        h, d = q.shape
+        kh = k.shape[1]
+        # group query heads by kv head: (K, groups, D) x (K, bk, D)
+        qg = q.reshape(kh, groups, d)
+        kg = jnp.transpose(k, (1, 0, 2))  # (K, bk, D)
+        s = jax.lax.dot_general(
+            qg, kg, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (K, groups, bk)
+        s = s.reshape(h, -1) * scale  # (H, bk)
+
+        pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (h, block_k), 1)
+        ok = (pos < length) & (mask_ref[0, 0] > 0)[None, :]
+        s = jnp.where(ok, s, NEG_INF)
+
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)  # (H, bk)
+        corr = jnp.exp(m_prev - m_new)
+        l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=1, keepdims=True)
+        vg = jnp.transpose(v, (1, 0, 2))  # (K, bk, D)
+        pg = p.reshape(kh, groups, -1)
+        o = jax.lax.dot_general(
+            pg, vg, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (K, groups, D)
+        acc_ref[:] = acc_ref[:] * corr + o.reshape(h, d)
+        m_ref[:] = m_new
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l = l_ref[:]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        out_ref[0] = (acc_ref[:] / l_safe).astype(out_ref.dtype)
+
+
+def decode_attention(
+    q: jnp.ndarray,  # (B, 1, H, D) or (B, H, D)
+    k: jnp.ndarray,  # (B, S, K, D) cache
+    v: jnp.ndarray,
+    length,  # scalar int: valid cache positions (cache_index + 1)
+    *,
+    key_mask: Optional[jnp.ndarray] = None,  # (B, S) bool
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jnp.ndarray:
+    """Single-position cached attention. Returns the same rank as q."""
+    squeeze = q.ndim == 4
+    if squeeze:
+        assert q.shape[1] == 1
+        q = q[:, 0]
+    b, h, d = q.shape
+    s = k.shape[1]
+    kh = k.shape[2]
+    groups = h // kh
+    scale = float(1.0 / (d**0.5))
+
+    block_k = min(block_k, max(s, 8))
+    s_pad = _cdiv(s, block_k) * block_k
+    if s_pad != s:
+        pad = [(0, 0), (0, s_pad - s), (0, 0), (0, 0)]
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+    if key_mask is None:
+        key_mask = jnp.ones((b, s), bool)
+    mask = jnp.pad(key_mask.astype(jnp.int32), [(0, 0), (0, s_pad - s)])[:, None, :]
+
+    length_arr = jnp.asarray(length, jnp.int32).reshape(1, 1)
+    kernel = functools.partial(
+        _decode_kernel, scale=scale, block_k=block_k, groups=groups
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(b, _cdiv(s_pad, block_k)),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda b_, ki: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, h, d), lambda b_, ki: (b_, 0, 0)),
+                pl.BlockSpec((1, block_k, kh, d), lambda b_, ki: (b_, ki, 0, 0)),
+                pl.BlockSpec((1, block_k, kh, d), lambda b_, ki: (b_, ki, 0, 0)),
+                pl.BlockSpec((1, 1, block_k), lambda b_, ki: (b_, 0, ki)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, h, d), lambda b_, ki: (b_, 0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((h, d), jnp.float32),
+                pltpu.VMEM((h, 1), jnp.float32),
+                pltpu.VMEM((h, 1), jnp.float32),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((b, h, d), q.dtype)],
+        interpret=_interpret(),
+    )(length_arr, q, k, v, mask)[0]
+    return out[:, None] if squeeze else out
