@@ -91,8 +91,9 @@ def main():
     dev = jax.devices()[0]
     platform = dev.platform
 
-    params = init_handsonvlm(jax.random.PRNGKey(0), cfg)
-    params = jax.device_put(params)
+    # jitted init: one program, bf16 buffers materialized directly (unjitted
+    # init leaves fp32 temporaries that fragment HBM at 7B)
+    params = jax.jit(lambda key: init_handsonvlm(key, cfg))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
 
     tok = MockTokenizer()
