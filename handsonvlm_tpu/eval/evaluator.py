@@ -22,7 +22,7 @@ from handsonvlm_tpu.core.config import HandsOnVLMConfig
 from handsonvlm_tpu.data.conversation import conv_templates
 from handsonvlm_tpu.data.tokenization import tokenizer_image_token
 from handsonvlm_tpu.eval.traj_metrics import evaluate_traj_stochastic
-from handsonvlm_tpu.infer.sampler import clip_pred_hands, generate
+from handsonvlm_tpu.infer.sampler import clip_pred_hands, generate_chunked
 
 
 @dataclasses.dataclass
@@ -59,7 +59,7 @@ class InferenceEngine:
         attn = ids != self.tokenizer.pad_token_id
         attn[:, :t] = True
 
-        out = generate(
+        out = generate_chunked(
             self.params,
             self.cfg,
             jnp.asarray(ids),

@@ -36,6 +36,11 @@ def main():
     p.add_argument("--rephrase-rate", type=float, default=0.3)
     p.add_argument("--use-percentage", type=float, default=1.0)
     p.add_argument("--save-every", type=int, default=0, help="steps; 0 = per epoch")
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="steps between generate+ADE/FDE evals (0 = off); "
+                        "replaces HandsOnVLMTrainer.evaluation_loop")
+    p.add_argument("--eval-samples", type=int, default=64,
+                   help="EK validation clips per in-training eval")
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--max-steps", type=int, default=0, help="0 = epochs*spe/bs")
     p.add_argument("--tasks", default="epic_kitchen",
@@ -114,6 +119,28 @@ def main():
         num_steps=total_steps - int(state.step), sharding=batch_sharding,
     )
 
+    # optional generate+score eval during training
+    # (HandsOnVLMTrainer.evaluation_loop equivalent, handsonvlm_trainer.py:110-322)
+    eval_dataset = None
+    if args.eval_every:
+        from handsonvlm_tpu.eval.evaluator import (
+            InferenceEngine,
+            evaluate_epic_kitchen_traj,
+        )
+
+        eval_hoi = get_epic_hoi_dataset_by_name(
+            args.ek_version, "validation", load_images=True,
+            rephrase_rate=0.0, use_percentage=1.0,
+        )
+        eval_dataset = EpicConversationDataset(tokenizer, eval_hoi, deterministic=True)
+
+    def run_eval(params, step):
+        engine = InferenceEngine(params=params, cfg=cfg, tokenizer=tokenizer)
+        res = evaluate_epic_kitchen_traj(
+            engine, eval_dataset, seed=step, log_every=0, limit=args.eval_samples
+        )
+        return {f"eval/{k}": res[k] for k in ("ade", "fde", "wde", "n")}
+
     step_fn = make_train_step(cfg, tx)
     rng = jax.random.PRNGKey(0)
     save_every = args.save_every or steps_per_epoch
@@ -123,6 +150,11 @@ def main():
     for batch in loader:
         state, metrics = step_fn(state, batch, rng)
         step = int(state.step)
+        if eval_dataset is not None and step % args.eval_every == 0:
+            em = run_eval(state.params, step)
+            em["step"] = step
+            print(json.dumps(em))
+            metrics_log.write(json.dumps(em) + "\n")
         if step % args.log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}
             m.update(step=step, lr=float(sched(step)),
