@@ -81,6 +81,18 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: repeat runs skip the multi-minute 7B
+    # compiles (harmless if the backend ignores it)
+    try:
+        cache_dir = os.environ.get(
+            "HANDSONVLM_JAX_CACHE", os.path.expanduser("~/.cache/handsonvlm_jax")
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     from handsonvlm_tpu.data.mock_tokenizer import MockTokenizer
     from handsonvlm_tpu.infer.sampler import generate_chunked
     from handsonvlm_tpu.models.handsonvlm import forward, init_handsonvlm

@@ -140,15 +140,23 @@ def _layer(
     layer_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
     cache_index: Optional[jnp.ndarray],
     attn_impl: str,
+    lora_layer=None,
+    lora_scale: float = 0.0,
 ):
     """One decoder block. Returns (hidden, (new_k_slice, new_v_slice))."""
+    from handsonvlm_tpu.models.lora import lora_delta
+
     b, t, d = hidden.shape
     h, k, hd = cfg.num_heads, cfg.kv_heads, cfg.head_dim_
 
+    def proj(x, name, grp="attn"):
+        out = x @ lp[grp][name]
+        return out + lora_delta(lora_layer, name, x, lora_scale)
+
     x = rms_norm(hidden, lp["attn_norm"]["scale"], cfg.rms_norm_eps)
-    q = (x @ lp["attn"]["wq"]).reshape(b, t, h, hd)
-    kx = (x @ lp["attn"]["wk"]).reshape(b, t, k, hd)
-    vx = (x @ lp["attn"]["wv"]).reshape(b, t, k, hd)
+    q = proj(x, "wq").reshape(b, t, h, hd)
+    kx = proj(x, "wk").reshape(b, t, k, hd)
+    vx = proj(x, "wv").reshape(b, t, k, hd)
     q = apply_rope(q, cos, sin)
     kx = apply_rope(kx, cos, sin)
 
@@ -169,12 +177,12 @@ def _layer(
         q, keys_, vals_, key_mask=key_mask, causal=True, q_offset=q_offset,
         impl=attn_impl, decode_length=decode_length,
     )
-    hidden = hidden + out.reshape(b, t, h * hd) @ lp["attn"]["wo"]
+    hidden = hidden + proj(out.reshape(b, t, h * hd), "wo")
 
     x = rms_norm(hidden, lp["mlp_norm"]["scale"], cfg.rms_norm_eps)
-    gate = jax.nn.silu(x @ lp["mlp"]["w_gate"])
-    up = x @ lp["mlp"]["w_up"]
-    hidden = hidden + (gate * up) @ lp["mlp"]["w_down"]
+    gate = jax.nn.silu(proj(x, "w_gate", "mlp"))
+    up = proj(x, "w_up", "mlp")
+    hidden = hidden + proj(gate * up, "w_down", "mlp")
     return hidden, new_kv
 
 
@@ -194,6 +202,7 @@ def apply_llama(
     kv_cache: Optional[KVCache] = None,
     attn_impl: str = "auto",
     remat: bool = False,
+    lora: Optional[dict] = None,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the decoder stack.
 
@@ -231,6 +240,8 @@ def apply_llama(
     cos, sin = rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta)
 
     layer_params = params["layers"]
+    lora_adapters = lora["adapters"] if lora is not None else None
+    lora_scale = lora["scale"] if lora is not None else 0.0
 
     if kv_cache is not None:
         # Cache lives in the scan *carry* and is updated in place with
@@ -239,12 +250,12 @@ def apply_llama(
         # stacked copy as scan ys would.
         def scan_body(carry, layer_in):
             hidden, ck, cv = carry
-            lp, layer_idx = layer_in
+            lp, lora_l, layer_idx = layer_in
             k_l = jax.lax.dynamic_index_in_dim(ck, layer_idx, 0, keepdims=False)
             v_l = jax.lax.dynamic_index_in_dim(cv, layer_idx, 0, keepdims=False)
             hidden, (nk, nv) = _layer(
                 hidden, lp, cfg, cos, sin, key_mask, q_offset, (k_l, v_l),
-                cache_index, attn_impl,
+                cache_index, attn_impl, lora_l, lora_scale,
             )
             ck = jax.lax.dynamic_update_index_in_dim(ck, nk, layer_idx, 0)
             cv = jax.lax.dynamic_update_index_in_dim(cv, nv, layer_idx, 0)
@@ -255,21 +266,22 @@ def apply_llama(
         layer_idx = jnp.arange(cfg.num_layers)
         (hidden, ck, cv), _ = jax.lax.scan(
             scan_body, (inputs_embeds, kv_cache.k, kv_cache.v),
-            (layer_params, layer_idx),
+            (layer_params, lora_adapters, layer_idx),
         )
         hidden = rms_norm(hidden, params["final_norm"]["scale"], cfg.rms_norm_eps)
         return hidden, KVCache(k=ck, v=cv, index=kv_cache.index + t)
 
-    def scan_body(hidden, lp):
+    def scan_body(hidden, layer_in):
+        lp, lora_l = layer_in
         hidden, _ = _layer(
             hidden, lp, cfg, cos, sin, key_mask, q_offset, None,
-            cache_index, attn_impl,
+            cache_index, attn_impl, lora_l, lora_scale,
         )
         return hidden, None
 
     if remat:
         scan_body = jax.checkpoint(scan_body)
-    hidden, _ = jax.lax.scan(scan_body, inputs_embeds, layer_params)
+    hidden, _ = jax.lax.scan(scan_body, inputs_embeds, (layer_params, lora_adapters))
     hidden = rms_norm(hidden, params["final_norm"]["scale"], cfg.rms_norm_eps)
     return hidden, None
 
