@@ -117,7 +117,7 @@ def prefill(
     hidden, cache = apply_llama(
         params["llama"], cfg.llama,
         inputs_embeds=sp.embeds, attn_mask=cache_mask,
-        kv_cache=cache, attn_impl=attn_impl,
+        kv_cache=cache, attn_impl=attn_impl, lora=params.get("lora"),
     )
     return hidden[:, -1, :], cache, cache_mask
 
@@ -206,6 +206,7 @@ def _decode_loop(
             attn_mask=cache_mask,
             kv_cache=state["cache"],
             attn_impl=attn_impl,
+            lora=params.get("lora"),
         )
         token, waypoint, is_hand = sample_and_hook(r_step, hidden[:, 0, :])
         state = dict(state, cache=new_cache, rng=rng, last_hidden=hidden[:, 0, :])
@@ -292,7 +293,7 @@ def decode_step(
     emb = embed_next_token(params, cfg, cur_token, cur_waypoint)
     hidden, cache = apply_llama(
         params["llama"], cfg.llama, inputs_embeds=emb[:, None, :],
-        attn_mask=cache_mask, kv_cache=cache, attn_impl=attn_impl,
+        attn_mask=cache_mask, kv_cache=cache, attn_impl=attn_impl, lora=params.get("lora"),
     )
     h = hidden[:, 0, :]
     logits = lm_logits(params["llama"], cfg.llama, h[:, None, :])[:, 0]
@@ -349,7 +350,7 @@ def decode_chunk(
         emb = embed_next_token(params, cfg, tok, wp)
         hidden, cache = apply_llama(
             params["llama"], cfg.llama, inputs_embeds=emb[:, None, :],
-            attn_mask=cache_mask, kv_cache=cache, attn_impl=attn_impl,
+            attn_mask=cache_mask, kv_cache=cache, attn_impl=attn_impl, lora=params.get("lora"),
         )
         h = hidden[:, 0, :]
         logits = lm_logits(params["llama"], cfg.llama, h[:, None, :])[:, 0]

@@ -309,7 +309,7 @@ def forward(
     hidden, _ = apply_llama(
         params["llama"], cfg.llama,
         inputs_embeds=sp.embeds, attn_mask=sp.attn_mask,
-        attn_impl=attn_impl, remat=remat,
+        attn_impl=attn_impl, remat=remat, lora=params.get("lora"),
     )
     logits = lm_logits(params["llama"], cfg.llama, hidden)
 

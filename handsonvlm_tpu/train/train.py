@@ -33,6 +33,9 @@ def main():
     p.add_argument("--warmup-ratio", type=float, default=0.03)
     p.add_argument("--weight-decay", type=float, default=0.0)
     p.add_argument("--model-axis", type=int, default=1, help="TP axis size")
+    p.add_argument("--lora-r", type=int, default=0,
+                   help="enable LoRA with this rank (reference: 128)")
+    p.add_argument("--lora-alpha", type=float, default=256.0)
     p.add_argument("--rephrase-rate", type=float, default=0.3)
     p.add_argument("--use-percentage", type=float, default=1.0)
     p.add_argument("--save-every", type=int, default=0, help="steps; 0 = per epoch")
@@ -75,12 +78,23 @@ def main():
     print(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} devices")
 
     params, cfg, tokenizer = load_pretrained_model(args.model_path, args.preset)
+    freeze = ("vision",)
+    if args.lora_r:
+        from handsonvlm_tpu.models.lora import init_lora
+
+        params["lora"] = init_lora(
+            jax.random.PRNGKey(42), cfg.llama, r=args.lora_r, alpha=args.lora_alpha
+        )
+        freeze = ("vision", "llama")  # adapters + projector + traj head train
     params = shard_params(params, mesh)
 
     steps_per_epoch = max(args.samples_per_epoch // args.batch_size, 1)
     total_steps = args.max_steps or args.epochs * steps_per_epoch
     sched = cosine_schedule(args.learning_rate, total_steps, args.warmup_ratio)
-    tx = make_optimizer(sched, weight_decay=args.weight_decay, params_template=params)
+    tx = make_optimizer(
+        sched, weight_decay=args.weight_decay, params_template=params,
+        freeze_top_keys=freeze,
+    )
     state = create_train_state(params, tx)
 
     ckpt_dir = os.path.join(args.output_dir, "checkpoints")

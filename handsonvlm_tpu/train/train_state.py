@@ -47,12 +47,15 @@ def cosine_schedule(
     )
 
 
-def _trainable_mask(params) -> Any:
-    """Freeze the CLIP tower (reference trains everything else)."""
+def _trainable_mask(params, freeze_top_keys=("vision",)) -> Any:
+    """Freeze whole top-level subtrees. Default freezes only the CLIP tower
+    (reference trains everything else); LoRA runs freeze ('vision','llama')
+    so just adapters + projector + traj head move (reference train.py
+    lora_enable path)."""
 
     def mask(path, _):
         top = path[0].key if hasattr(path[0], "key") else str(path[0])
-        return top != "vision"
+        return top not in freeze_top_keys
 
     return jax.tree_util.tree_map_with_path(mask, params)
 
@@ -65,13 +68,14 @@ def make_optimizer(
     eps: float = 1e-8,
     max_grad_norm: Optional[float] = 1.0,
     params_template=None,
+    freeze_top_keys=("vision",),
 ) -> optax.GradientTransformation:
     tx = optax.chain(
         optax.clip_by_global_norm(max_grad_norm) if max_grad_norm else optax.identity(),
         optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay),
     )
     if params_template is not None:
-        tx = optax.masked(tx, _trainable_mask(params_template))
+        tx = optax.masked(tx, _trainable_mask(params_template, freeze_top_keys))
     return tx
 
 
