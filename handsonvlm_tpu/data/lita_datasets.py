@@ -398,6 +398,55 @@ class LlavaDataset(LitaBaseDataset):
         return np.tile(img[None], (self.num_frames, 1, 1, 1))
 
 
+class LlavaPretrainDataset(LitaBaseDataset):
+    """Projector-pretraining dataset (llava/train/train.py
+    LazySupervisedDataset with the plain conversation template): image +
+    caption pairs, everything before the caption masked."""
+
+    def __init__(self, data_path: str, tokenizer, load_images: bool = True,
+                 json_name: str = "blip_laion_cc_sbu_558k.json",
+                 image_subdir: str = "LLaVA-Pretrain/images"):
+        self.json_name = json_name
+        self.image_subdir = image_subdir
+        super().__init__(data_path, tokenizer, load_images)
+
+    def set_params(self):
+        self.image_folder = os.path.join(self.data_path, self.image_subdir)
+
+    def init_list_data_dict(self):
+        path = os.path.join(self.data_path, "LLaVA-Pretrain", self.json_name)
+        self.list_data_dict = json.load(open(path))
+
+    def get_sources(self, i: int) -> Dict:
+        return self.list_data_dict[i]
+
+    def get_visual(self, sources):
+        return load_image(os.path.join(self.image_folder, sources["image"]))
+
+    def __getitem__(self, _: int) -> Dict:
+        from handsonvlm_tpu.data.tokenization import preprocess_plain
+
+        rng = np.random.RandomState()
+        i = rng.randint(0, len(self.list_data_dict))
+        sources = self.get_sources(i)
+        if self.load_images:
+            try:
+                image = self.get_visual(sources)
+            except Exception as e:  # noqa: BLE001
+                print(f"visual load failed ({e}); resampling")
+                return self[0]
+        else:
+            image = np.zeros((3, self.image_size, self.image_size), np.float32)
+        tok = preprocess_plain(
+            copy.deepcopy([sources["conversations"]]), self.tokenizer
+        )
+        return {
+            "input_ids": tok["input_ids"][0],
+            "labels": tok["labels"][0],
+            "image": image,
+        }
+
+
 LITA_DATASET_REGISTRY = {
     "dvc": {
         "activitynet": DVCDataset_activitynet,

@@ -267,6 +267,13 @@ class HFTokenizer:
     def __len__(self):
         return len(self.tok)
 
+    def add_pixel_tokens(self, n_bins: int) -> List[int]:
+        """<bin_1>..<bin_n> tokens (handsonvlm_arch.py:27-31; unused by the
+        default recipe but part of the tokenizer surface)."""
+        bin_tokens = [f"<bin_{i}>" for i in range(1, n_bins + 1)]
+        self.tok.add_tokens(bin_tokens)
+        return self.tok.convert_tokens_to_ids(bin_tokens)
+
     def encode(self, text: str) -> List[int]:
         return self.tok(text).input_ids
 

@@ -105,3 +105,31 @@ def test_vidqa_dataset(tmp_path):
     assert (ids == IMAGE_TOKEN_INDEX).sum() == 1
     labels = np.asarray(item["labels"])
     assert (labels != -100).sum() > 0
+
+
+def test_llava_pretrain_dataset(tmp_path):
+    import json as _json
+
+    from handsonvlm_tpu.data.lita_datasets import LlavaPretrainDataset
+
+    d = tmp_path / "LLaVA-Pretrain"
+    d.mkdir()
+    (d / "blip_laion_cc_sbu_558k.json").write_text(
+        _json.dumps([
+            {
+                "image": "x.jpg",
+                "conversations": [
+                    {"from": "human", "value": "<image>"},
+                    {"from": "gpt", "value": "a kitchen with a fridge"},
+                ],
+            }
+        ])
+    )
+    ds = LlavaPretrainDataset(str(tmp_path), MockTokenizer(), load_images=False)
+    item = ds[0]
+    ids = np.asarray(item["input_ids"])
+    labels = np.asarray(item["labels"])
+    assert (ids == IMAGE_TOKEN_INDEX).sum() == 1
+    img_pos = int(np.where(ids == IMAGE_TOKEN_INDEX)[0][0])
+    assert (labels[: img_pos + 1] == -100).all()
+    assert (labels[img_pos + 1 :] != -100).any()
