@@ -83,10 +83,14 @@ def evaluate_epic_kitchen_traj(
     seed: int = 0,
     log_every: int = 50,
     limit: Optional[int] = None,
+    num_samples: int = 1,
 ) -> Dict:
     """Loop a deterministic conversation dataset, score stochastic ADE/FDE.
 
     `dataset` is an Epic[Reasoning]ConversationDataset(deterministic=True).
+    `num_samples` > 1 decodes each clip multiple times and scores the
+    min/mean-over-samples protocol (the reference harness uses 1 decode per
+    clip; the paper's stochastic metrics support multiple).
     Returns {'ade','fde','wde','n','val_info'}.
     """
     rng = jax.random.PRNGKey(seed)
@@ -95,10 +99,16 @@ def evaluate_epic_kitchen_traj(
     n = len(dataset) if limit is None else min(limit, len(dataset))
     for i in range(n):
         sample = dataset[i]
-        rng, step_rng = jax.random.split(rng)
-        pred, valid, gen_ids = engine.infer(
-            sample["prompt"], sample["image"][None], step_rng
-        )
+        sample_preds = []
+        for _ in range(num_samples):
+            rng, step_rng = jax.random.split(rng)
+            pred_k, valid_k, gen_ids = engine.infer(
+                sample["prompt"], sample["image"][None], step_rng
+            )
+            sample_preds.append((pred_k, valid_k))
+        # a clip counts when every stochastic decode produced a trajectory
+        valid = np.stack([v for _, v in sample_preds]).all(axis=0)
+        pred = sample_preds[0][0]  # representative decode for val_info
         future_hands = np.asarray(sample["future_hands"])[None]  # (1,2,5,2)
         future_valid = np.asarray(sample["future_valid"])[None]  # (1,2)
         val_info[i] = {
@@ -110,7 +120,8 @@ def evaluate_epic_kitchen_traj(
             "text": engine.tokenizer.decode(gen_ids) if hasattr(engine.tokenizer, "decode") else None,
         }
         if valid[0]:
-            preds.append(pred[None])  # (1,1,2,4,2): one stochastic sample
+            stacked = np.stack([p for p, _ in sample_preds], axis=1)  # (1,S,2,4,2)
+            preds.append(stacked)
             gts.append(future_hands[:, :, 1:, :])  # drop last-observed point
             valids.append(future_valid)
         if log_every and (i + 1) % log_every == 0 and preds:

@@ -406,10 +406,14 @@ def generate_chunked(
         params, cfg, last_hidden, r0, temperature=temperature, top_p=top_p,
     )
 
-    all_tokens = [np.asarray(token)[:, None]]
-    all_wps = [np.asarray(waypoint)[:, None]]
-    all_hands = [(np.asarray(token) == cfg.hand_token_id)[:, None]]
-    finished_h = np.asarray(token) == eos_token_id
+    # device-side accumulation: exactly ONE host sync (the `finished` flag)
+    # per chunk — every extra transfer costs a full tunnel round trip
+    token_h = np.asarray(token)
+    dev_tokens = [token[:, None]]
+    dev_wps = [waypoint[:, None]]
+    dev_hands = [jnp.asarray(token == cfg.hand_token_id)[:, None]]
+    takes = [1]
+    finished_h = token_h == eos_token_id
     finished = jnp.asarray(finished_h)
 
     produced = 1
@@ -420,15 +424,22 @@ def generate_chunked(
             eos_token_id=eos_token_id,
         )
         take = min(chunk, max_new_tokens - produced)
-        all_tokens.append(np.asarray(tokens)[:, :take])
-        all_wps.append(np.asarray(wps)[:, :take])
-        all_hands.append(np.asarray(hands)[:, :take])
-        finished_h = np.asarray(finished)
+        dev_tokens.append(tokens)
+        dev_wps.append(wps)
+        dev_hands.append(hands)
+        takes.append(take)
+        finished_h = np.asarray(finished)  # the one sync per chunk
         produced += take
 
-    tokens = np.concatenate(all_tokens, axis=1)
-    wps = np.concatenate(all_wps, axis=1)
-    hands = np.concatenate(all_hands, axis=1)
+    tokens = np.concatenate(
+        [np.asarray(t)[:, :k] for t, k in zip(dev_tokens, takes)], axis=1
+    )
+    wps = np.concatenate(
+        [np.asarray(w)[:, :k] for w, k in zip(dev_wps, takes)], axis=1
+    )
+    hands = np.concatenate(
+        [np.asarray(h)[:, :k] for h, k in zip(dev_hands, takes)], axis=1
+    )
     if tokens.shape[1] < max_new_tokens:
         pad = max_new_tokens - tokens.shape[1]
         tokens = np.pad(tokens, ((0, 0), (0, pad)))
