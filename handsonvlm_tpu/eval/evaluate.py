@@ -22,6 +22,8 @@ def main():
     p.add_argument("--top-p", type=float, default=0.9)
     p.add_argument("--max-new-tokens", type=int, default=100)
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--num-samples", type=int, default=1,
+                   help="stochastic decodes per clip (min/mean-over-samples)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None, help="json results path")
     args = p.parse_args()
@@ -50,7 +52,8 @@ def main():
         max_new_tokens=args.max_new_tokens,
     )
     result = evaluate_epic_kitchen_traj(
-        engine, dataset, seed=args.seed, limit=args.limit
+        engine, dataset, seed=args.seed, limit=args.limit,
+        num_samples=args.num_samples,
     )
     summary = {k: result[k] for k in ("ade", "fde", "wde", "n")}
     print(json.dumps(summary))
