@@ -49,15 +49,18 @@ class InferenceEngine:
         """question + (1,100,3,224,224) frames -> (pred (1,2,4,2), valid,
         generated ids)."""
         ids = self.build_prompt_ids(question)
-        # left-pad to a bucket so jit compiles once per bucket, not per len
+        # LEFT-pad to a bucket: one jit compile per bucket, and the final
+        # prompt position stays real content (rotary attention is relative,
+        # so left padding is logit-exact; right padding would sample the
+        # first token from a pad-query position)
         t = ids.shape[1]
         m = self.pad_prompt_multiple
         bucket = ((t + m - 1) // m) * m
+        attn = np.ones((1, bucket), bool)
         if bucket != t:
             pad = np.full((1, bucket - t), self.tokenizer.pad_token_id, np.int64)
-            ids = np.concatenate([ids, pad], axis=1)  # right-pad; masked out
-        attn = ids != self.tokenizer.pad_token_id
-        attn[:, :t] = True
+            ids = np.concatenate([pad, ids], axis=1)
+            attn[:, : bucket - t] = False
 
         out = generate_chunked(
             self.params,
@@ -68,6 +71,7 @@ class InferenceEngine:
             max_new_tokens=self.max_new_tokens,
             temperature=self.temperature,
             top_p=self.top_p,
+            attn_mask=attn,
         )
         pred, valid = clip_pred_hands(
             jax.device_get(out.pred_hands), jax.device_get(out.num_hands)

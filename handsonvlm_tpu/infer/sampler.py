@@ -261,8 +261,9 @@ def generate(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_len", "attn_impl"))
-def _prefill_jit(params, cfg, input_ids, images, max_len, attn_impl):
-    return prefill(params, cfg, input_ids, images, max_len, attn_impl=attn_impl)
+def _prefill_jit(params, cfg, input_ids, images, max_len, attn_impl, attn_mask=None):
+    return prefill(params, cfg, input_ids, images, max_len, attn_impl=attn_impl,
+                   attn_mask=attn_mask)
 
 
 @functools.partial(
@@ -386,8 +387,13 @@ def generate_chunked(
     top_p: float = 0.9,
     eos_token_id: int = EOS_TOKEN_ID,
     attn_impl: str = "auto",
+    attn_mask=None,
 ) -> SampleOutput:
-    """Prefill + chunked decode. Same outputs as generate/generate_host."""
+    """Prefill + chunked decode. Same outputs as generate/generate_host.
+
+    `attn_mask` (B, T) marks valid prompt positions; pad prompts on the
+    LEFT so the final position is real content (rotary attention depends
+    only on relative positions, so left padding is logit-exact)."""
     import numpy as np
 
     input_ids = jnp.asarray(input_ids)
@@ -399,7 +405,8 @@ def generate_chunked(
         max_len = t_prompt + 1 + n_chunks * chunk + 1
 
     last_hidden, cache, cache_mask = _prefill_jit(
-        params, cfg, input_ids, jnp.asarray(images), max_len, attn_impl
+        params, cfg, input_ids, jnp.asarray(images), max_len, attn_impl,
+        None if attn_mask is None else jnp.asarray(attn_mask),
     )
     rng, r0 = jax.random.split(rng)
     token, waypoint = _first_token(
