@@ -48,6 +48,8 @@ def main():
     p.add_argument("--max-steps", type=int, default=0, help="0 = epochs*spe/bs")
     p.add_argument("--tasks", default="epic_kitchen",
                    help="|| separated: epic_kitchen, reasoning")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="train on N synthetic samples (smoke runs without EK data)")
     args = p.parse_args()
 
     import jax
@@ -104,24 +106,33 @@ def main():
         print(f"resumed from step {int(state.step)}")
 
     # data
-    hoi = get_epic_hoi_dataset_by_name(
-        args.ek_version, "train", load_images=True,
-        rephrase_rate=args.rephrase_rate, use_percentage=args.use_percentage,
-    )
-    task_datasets = []
-    tasks = args.tasks.split("||")
-    group = []
-    if "epic_kitchen" in tasks:
-        group.append(EpicMultiturnConversationDataset(tokenizer, hoi))
-    if "reasoning" in tasks:
-        group.append(EpicReasoningConversationDataset(tokenizer, hoi))
-    if not group:
-        group.append(EpicConversationDataset(tokenizer, hoi))
-    task_datasets.append(group)
-    hybrid = HybridDataset(
-        task_datasets=task_datasets, task_sample_rate=[1.0],
-        samples_per_epoch=args.samples_per_epoch,
-    )
+    if args.synthetic:
+        from handsonvlm_tpu.data.synthetic import SyntheticConversationDataset
+
+        hybrid = HybridDataset(
+            task_datasets=[[SyntheticConversationDataset(tokenizer, cfg, n=args.synthetic)]],
+            task_sample_rate=[1.0],
+            samples_per_epoch=args.samples_per_epoch,
+        )
+    else:
+        hoi = get_epic_hoi_dataset_by_name(
+            args.ek_version, "train", load_images=True,
+            rephrase_rate=args.rephrase_rate, use_percentage=args.use_percentage,
+        )
+        task_datasets = []
+        tasks = args.tasks.split("||")
+        group = []
+        if "epic_kitchen" in tasks:
+            group.append(EpicMultiturnConversationDataset(tokenizer, hoi))
+        if "reasoning" in tasks:
+            group.append(EpicReasoningConversationDataset(tokenizer, hoi))
+        if not group:
+            group.append(EpicConversationDataset(tokenizer, hoi))
+        task_datasets.append(group)
+        hybrid = HybridDataset(
+            task_datasets=task_datasets, task_sample_rate=[1.0],
+            samples_per_epoch=args.samples_per_epoch,
+        )
     collate = Collator(
         pad_token_id=tokenizer.pad_token_id,
         model_max_length=cfg.max_length,
