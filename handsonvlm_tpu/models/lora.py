@@ -52,7 +52,9 @@ def init_lora(
             "a": (jax.random.normal(k, (L, din, r)) * 0.02).astype(dtype),
             "b": jnp.zeros((L, r, dout), dtype),
         }
-    return {"adapters": adapters, "scale": float(alpha) / float(r)}
+    # scale is a () array so the tree is uniform for sharding/optax;
+    # the optimizer mask excludes it from updates
+    return {"adapters": adapters, "scale": jnp.asarray(float(alpha) / float(r), jnp.float32)}
 
 
 def lora_delta(lora_layer: Optional[Dict], name: str, x: jnp.ndarray, scale: float) -> jnp.ndarray:

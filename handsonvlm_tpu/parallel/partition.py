@@ -49,6 +49,12 @@ VISION_RULES: List[Tuple[str, P]] = [
     (r"vision/.*scale$", P()),
 ]
 
+LORA_RULES: List[Tuple[str, P]] = [
+    # adapters stacked (L, din, r) / (L, r, dout): FSDP-shard the big dim
+    (r"lora/adapters/.*/a$", P(None, "data", None)),
+    (r"lora/adapters/.*/b$", P(None, None, "data")),
+]
+
 HEAD_RULES: List[Tuple[str, P]] = [
     # mm projector (1024, D)
     (r"projector/kernel$", P("data", "model")),
@@ -58,7 +64,9 @@ HEAD_RULES: List[Tuple[str, P]] = [
     (r"traj/.*bias$", P()),
 ]
 
-DEFAULT_RULES: List[Tuple[str, P]] = LLAMA_RULES + VISION_RULES + HEAD_RULES
+DEFAULT_RULES: List[Tuple[str, P]] = (
+    LLAMA_RULES + VISION_RULES + LORA_RULES + HEAD_RULES
+)
 
 
 def _path_str(path) -> str:

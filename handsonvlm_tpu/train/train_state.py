@@ -55,7 +55,10 @@ def _trainable_mask(params, freeze_top_keys=("vision",)) -> Any:
 
     def mask(path, _):
         top = path[0].key if hasattr(path[0], "key") else str(path[0])
-        return top not in freeze_top_keys
+        last = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if top == "lora" and last == "scale":
+            return "freeze"  # alpha/r is a constant, not a parameter
+        return "freeze" if top in freeze_top_keys else "train"
 
     return jax.tree_util.tree_map_with_path(mask, params)
 
@@ -75,7 +78,13 @@ def make_optimizer(
         optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay),
     )
     if params_template is not None:
-        tx = optax.masked(tx, _trainable_mask(params_template, freeze_top_keys))
+        # multi_transform with set_to_zero: frozen leaves get ZERO updates.
+        # (optax.masked would pass their raw gradients through as updates —
+        # only harmless when the gradient is exactly zero.)
+        labels = _trainable_mask(params_template, freeze_top_keys)
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels
+        )
     return tx
 
 
