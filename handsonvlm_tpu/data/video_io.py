@@ -60,13 +60,14 @@ def load_image(
     image_file: str,
     image_aspect_ratio: str = "square",
     cache_dir: Optional[str] = "/dev/shm/handsonvlm_images",
+    size: int = CLIP_SIZE,
 ) -> np.ndarray:
-    """JPEG path -> (3,224,224) with optional /dev/shm .npy cache."""
+    """JPEG path -> (3,size,size) with optional /dev/shm .npy cache."""
     cache_file = None
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
         h = hashlib.md5(image_file.encode()).hexdigest()[:8]
-        cache_file = os.path.join(cache_dir, f"{os.path.basename(image_file)}_{h}.npy")
+        cache_file = os.path.join(cache_dir, f"{os.path.basename(image_file)}_{h}_{size}.npy")
         if os.path.exists(cache_file):
             try:
                 return np.load(cache_file)
@@ -77,7 +78,7 @@ def load_image(
     img = Image.open(image_file).convert("RGB")
     if image_aspect_ratio == "pad":
         img = expand2square(img, tuple(int(x * 255) for x in CLIP_MEAN))
-    out = clip_preprocess(img)
+    out = clip_preprocess(img, size)
     if cache_file:
         try:
             np.save(cache_file, out)
@@ -87,15 +88,16 @@ def load_image(
 
 
 def load_video_frames(
-    frame_paths: Sequence[str], image_aspect_ratio: str = "square", cache_dir=None
+    frame_paths: Sequence[str], image_aspect_ratio: str = "square", cache_dir=None,
+    size: int = CLIP_SIZE,
 ) -> np.ndarray:
-    """List of frame paths -> (T, 3, 224, 224)."""
+    """List of frame paths -> (T, 3, size, size)."""
     return np.stack(
-        [load_image(p, image_aspect_ratio, cache_dir) for p in frame_paths], axis=0
+        [load_image(p, image_aspect_ratio, cache_dir, size) for p in frame_paths], axis=0
     )
 
 
-def load_video(video_path: str, num_frames: int) -> np.ndarray:
+def load_video(video_path: str, num_frames: int, size: int = CLIP_SIZE) -> np.ndarray:
     """Decode an mp4, uniformly sample num_frames, CLIP-preprocess.
 
     Mirrors handsonvlm_utils.load_video's linspace sampling; uses imageio
@@ -107,7 +109,7 @@ def load_video(video_path: str, num_frames: int) -> np.ndarray:
 
     out = []
     for i in idx:
-        out.append(clip_preprocess(Image.fromarray(frames[i])))
+        out.append(clip_preprocess(Image.fromarray(frames[i]), size))
     return np.stack(out, axis=0)
 
 

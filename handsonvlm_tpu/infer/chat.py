@@ -36,26 +36,33 @@ def main():
     from handsonvlm_tpu.data.video_io import load_image, load_video
     from handsonvlm_tpu.eval.evaluator import InferenceEngine
     from handsonvlm_tpu.infer.builder import load_pretrained_model
-    from handsonvlm_tpu.infer.sampler import clip_pred_hands, generate
+    from handsonvlm_tpu.infer.sampler import clip_pred_hands, generate_host
     from handsonvlm_tpu.infer.viz import create_trajectory_video
 
     params, cfg, tokenizer = load_pretrained_model(args.model_path, args.preset)
 
-    # frames: 10 unique, repeated 10x to the 100-slot interface
+    # frames: 10 unique, repeated to fill the num_frames interface
+    # (epic_dataset.py:89-95 tiling, generalized to any frame budget)
+    size = cfg.vision.image_size
+    n_unique = min(10, cfg.num_frames)
     if args.path.endswith((".png", ".jpg", ".jpeg")):
-        frame = load_image(args.path, cache_dir=None)
-        frames = np.tile(frame[None], (10, 1, 1, 1))
-        frame_paths = [args.path] * 10
+        frame = load_image(args.path, cache_dir=None, size=size)
+        frames = np.tile(frame[None], (n_unique, 1, 1, 1))
+        frame_paths = [args.path] * n_unique
     elif args.path.endswith(".mp4"):
-        frames = load_video(args.path, num_frames=10)
+        frames = load_video(args.path, num_frames=n_unique, size=size)
         frame_paths = [args.path]
     else:
         raise ValueError(f"unsupported input {args.path}")
-    n_total = cfg.num_frames
-    reps = n_total // frames.shape[0]
-    video = np.tile(frames[None], (reps, 1, 1, 1, 1)).reshape(
-        (n_total,) + frames.shape[1:]
-    )[None]
+    idx = np.round(np.linspace(0, frames.shape[0] - 1, cfg.num_frames)).astype(int) \
+        if cfg.num_frames % frames.shape[0] else None
+    if idx is None:
+        reps = cfg.num_frames // frames.shape[0]
+        video = np.tile(frames[None], (reps, 1, 1, 1, 1)).reshape(
+            (cfg.num_frames,) + frames.shape[1:]
+        )[None]
+    else:
+        video = frames[idx][None]
 
     conv = conv_templates["v1"].copy()
     rng = jax.random.PRNGKey(0)
@@ -77,15 +84,22 @@ def main():
             tokenizer_image_token(conv.get_prompt(), tokenizer), np.int64
         )[None]
         rng, step_rng = jax.random.split(rng)
-        out = generate(
+        print(f"{conv.roles[1]}: ", end="", flush=True)
+
+        def stream(tok_id):
+            piece = tokenizer.decode([tok_id])
+            print(piece, end=" ", flush=True)
+
+        out = generate_host(
             params, cfg, ids, video.astype(np.float32), step_rng,
             max_new_tokens=args.max_new_tokens,
             temperature=args.temperature, top_p=args.top_p,
+            on_token=stream,
         )
+        print()
         n = int(out.num_tokens[0])
         text = tokenizer.decode(np.asarray(out.sequences[0, :n]))
         conv.messages[-1][1] = text
-        print(f"{conv.roles[1]}: {text}")
         pred, valid = clip_pred_hands(
             np.asarray(out.pred_hands), np.asarray(out.num_hands)
         )

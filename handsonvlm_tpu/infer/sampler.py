@@ -489,11 +489,14 @@ def generate_host(
     top_p: float = 0.9,
     eos_token_id: int = EOS_TOKEN_ID,
     attn_impl: str = "auto",
+    on_token=None,
 ) -> SampleOutput:
     """Host-driven generate: jitted prefill + jitted per-token step.
 
     Mirrors the reference sample() control flow (handsonvlm.py:543-647) with
-    a KV cache; produces the same SampleOutput as `generate`.
+    a KV cache; produces the same SampleOutput as `generate`. `on_token`
+    (token_id:int -> None) streams tokens as they are sampled (the
+    reference's TextStreamer equivalent, llava/serve/cli.py).
     """
     import numpy as np
 
@@ -529,6 +532,8 @@ def generate_host(
             pred_hands[i, slot] = waypoint_h[i]
             num_hands[i] += 1
         finished = finished | (tok == eos_token_id)
+        if on_token is not None and not finished[0]:
+            on_token(int(tok[0]))
         return tok
 
     tok_h = record(0, np.asarray(token), np.asarray(waypoint))
