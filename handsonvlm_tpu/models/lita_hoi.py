@@ -149,9 +149,10 @@ def lita_hoi_forward(
     _, recon, kld = cvae_forward(params["hand_head"], gt_target, gt_emb, r_tf)
     fv = future_valid.astype(jnp.float32)
     recon = recon.reshape(b, 2, t_pred - 1).sum(-1)
-    kld = kld.reshape(b, 2, t_pred - 1).sum(-1)
     traj_loss = (recon * fv).sum(1)
-    traj_kl_loss = (kld * fv).sum(1)
+    # reference quirk: whole-batch KL sum scaled by valid counts
+    # (traj_decoder.py:66-67)
+    traj_kl_loss = kld.sum() * fv.sum(1)
 
     global_tok = last_hidden[:, 0]
     pred_r = _apply(params["last_obs_rhand"], global_tok)

@@ -338,10 +338,11 @@ def object_transformer_forward(
     gt_target = future_hands[:, :, 1:, :].reshape(-1, 2)
     _, recon, kld = cvae_forward(params["hand_head"], gt_target, gt_hand_embedding, r_tf)
     recon = recon.reshape(b, 2, t_pred - 1).sum(-1)
-    kld = kld.reshape(b, 2, t_pred - 1).sum(-1)
     fv = future_valid.astype(recon.dtype)
     traj_loss = (recon * fv).sum(1)
-    traj_kl_loss = (kld * fv).sum(1)
+    # reference quirk: KL summed over the whole flattened batch, scaled by
+    # each sample's valid count (traj_decoder.py:66-67)
+    traj_kl_loss = kld.sum() * fv.sum(1)
 
     # last-observation hand-embedding MSE (object_transformer.py:302-314)
     global_token = last_hidden[:, 0]

@@ -118,10 +118,13 @@ def traj_decoder_loss(
     if cfg.kind == "CVAE":
         _, recon, kld = cvae_forward(params, gt, cond, rng)
         recon = recon.reshape(b, 2, t_pred).astype(jnp.float32)
-        kld = kld.reshape(b, 2, t_pred).astype(jnp.float32)
-        # validity masking (traj_decoder.py:62-70)
+        # validity masking (traj_decoder.py:62-70). Reference quirk: the KL
+        # is summed over the WHOLE flattened batch (`KLD.sum(-1)` on a 1-D
+        # tensor, traj_decoder.py:66) and then scaled by each sample's valid
+        # count — NOT masked per sample like the recon term. Preserved.
         traj_per_b = (recon.sum(-1) * valid).sum(1)
-        kl_per_b = (kld.sum(-1) * valid).sum(1)
+        kld_total = kld.astype(jnp.float32).sum()
+        kl_per_b = kld_total * valid.sum(1)
         traj_loss = lambda_traj * traj_per_b.sum()
         kl_loss = lambda_traj_kl * kl_per_b.sum()
     else:

@@ -50,11 +50,13 @@ def test_tiny_forward_golden():
         "traj_kl_loss": float(out["traj_kl_loss"]),
         "logits_mean": float(jnp.mean(out["logits"])),
     }
+    # regenerated after replicating the reference's batch-global KL quirk
+    # (traj_decoder.py:66) — see commit message
     golden = {
-        "loss": 27.0926761627,
+        "loss": 27.1411933899,
         "text_loss": 10.3793773651,
         "traj_loss": 16.6971263885,
-        "traj_kl_loss": 0.0161725637,
+        "traj_kl_loss": 0.0646902546,
         "logits_mean": -0.0001010363,
     }
     regen = {k: round(v, 10) for k, v in got.items()}
