@@ -108,6 +108,14 @@ def main():
     params = jax.jit(lambda key: init_handsonvlm(key, cfg))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
 
+    use_int8 = os.environ.get("HANDSONVLM_BENCH_INT8", "0") == "1"
+    if use_int8:
+        from handsonvlm_tpu.ops.int8_matmul import quantize_llama
+
+        qlayers = jax.jit(lambda p: quantize_llama(p)["layers"])(params["llama"])
+        jax.block_until_ready(qlayers)
+        params["llama"] = dict(params["llama"], layers=qlayers)
+
     tok = MockTokenizer()
     ids = np.asarray(_eval_prompt(tok, cfg))[None, :]
     ids_j = jnp.asarray(ids)
@@ -169,7 +177,7 @@ def main():
     baseline_tps = n_base / (t1 - t0)
 
     result = {
-        "metric": f"decode_tokens_per_sec_{preset}",
+        "metric": f"decode_tokens_per_sec_{preset}" + ("_int8" if use_int8 else ""),
         "value": round(cached_tps, 3),
         "unit": "tokens/s/chip",
         "vs_baseline": round(cached_tps / baseline_tps, 3),

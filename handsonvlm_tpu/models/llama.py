@@ -145,12 +145,13 @@ def _layer(
 ):
     """One decoder block. Returns (hidden, (new_k_slice, new_v_slice))."""
     from handsonvlm_tpu.models.lora import lora_delta
+    from handsonvlm_tpu.ops.int8_matmul import maybe_int8_matmul
 
     b, t, d = hidden.shape
     h, k, hd = cfg.num_heads, cfg.kv_heads, cfg.head_dim_
 
     def proj(x, name, grp="attn"):
-        out = x @ lp[grp][name]
+        out = maybe_int8_matmul(x, lp[grp][name])
         return out + lora_delta(lora_layer, name, x, lora_scale)
 
     x = rms_norm(hidden, lp["attn_norm"]["scale"], cfg.rms_norm_eps)
