@@ -55,12 +55,23 @@ def _gemv8_kernel(x_ref, w_ref, s_ref, o_ref):
     o_ref[:] = y * s_ref[:]
 
 
+def _pick_blocks(m: int, d: int, n: int) -> Tuple[int, int]:
+    """Block sizes keeping x + 2x double-buffered w + out under ~10MB VMEM."""
+    budget = 10 * 1024 * 1024
+    block_n = min(BLOCK_N, n)
+    block_m = min(BLOCK_M, max(m, 8))
+    while block_n > 128 and 2 * d * block_n > budget // 2:
+        block_n //= 2
+    while block_m > 8 and (block_m * d * 2 + 2 * d * block_n + block_m * block_n * 4) > budget:
+        block_m //= 2
+    return block_m, block_n
+
+
 def int8_matmul(x: jnp.ndarray, w8: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
     """x (M, d) @ dequant(w8 (d, n)) -> (M, n) float32."""
     m, d = x.shape
     n = w8.shape[1]
-    block_n = min(BLOCK_N, n)
-    block_m = min(BLOCK_M, max(m, 8))
+    block_m, block_n = _pick_blocks(m, d, n)
     m_pad = _cdiv(m, block_m) * block_m
     n_pad = _cdiv(n, block_n) * block_n
     if m_pad != m:
