@@ -104,17 +104,20 @@ def main():
     platform = dev.platform
 
     # jitted init: one program, bf16 buffers materialized directly (unjitted
-    # init leaves fp32 temporaries that fragment HBM at 7B)
-    params = jax.jit(lambda key: init_handsonvlm(key, cfg))(jax.random.PRNGKey(0))
-    jax.block_until_ready(params)
-
+    # init leaves fp32 temporaries that fragment HBM at 7B). Int8 quantizes
+    # inside the same program so the bf16 decoder weights never persist.
     use_int8 = os.environ.get("HANDSONVLM_BENCH_INT8", "0") == "1"
-    if use_int8:
-        from handsonvlm_tpu.ops.int8_matmul import quantize_llama
 
-        qlayers = jax.jit(lambda p: quantize_llama(p)["layers"])(params["llama"])
-        jax.block_until_ready(qlayers)
-        params["llama"] = dict(params["llama"], layers=qlayers)
+    def make(key):
+        params = init_handsonvlm(key, cfg)
+        if use_int8:
+            from handsonvlm_tpu.ops.int8_matmul import quantize_llama
+
+            params["llama"] = quantize_llama(params["llama"])
+        return params
+
+    params = jax.jit(make)(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
 
     tok = MockTokenizer()
     ids = np.asarray(_eval_prompt(tok, cfg))[None, :]
