@@ -25,6 +25,8 @@ def main():
     p.add_argument("--num-samples", type=int, default=1,
                    help="stochastic decodes per clip (min/mean-over-samples)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--int8", action="store_true",
+                   help="int8 weight-only decoder (memory; slight accuracy cost)")
     p.add_argument("--out", default=None, help="json results path")
     args = p.parse_args()
 
@@ -36,7 +38,9 @@ def main():
     from handsonvlm_tpu.eval.evaluator import InferenceEngine, evaluate_epic_kitchen_traj
     from handsonvlm_tpu.infer.builder import load_pretrained_model
 
-    params, cfg, tokenizer = load_pretrained_model(args.model_path, args.preset)
+    params, cfg, tokenizer = load_pretrained_model(
+        args.model_path, args.preset, quantize="int8" if args.int8 else None
+    )
 
     rephrase_rate = 1.0 if args.use_reason else 0.0
     hoi = get_epic_hoi_dataset_by_name(

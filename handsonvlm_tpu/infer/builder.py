@@ -37,8 +37,11 @@ def load_pretrained_model(
     model_path: str,
     preset: str = "7b",
     dtype=jnp.bfloat16,
+    quantize: Optional[str] = None,
 ) -> Tuple[dict, HandsOnVLMConfig, object]:
-    """Returns (params, cfg, tokenizer)."""
+    """Returns (params, cfg, tokenizer). quantize='int8' converts the decoder
+    projections to int8 weight-only (halves decoder memory; 13B fits one
+    16GB chip)."""
     cfg = get_config(preset)
     # the released checkpoints always ship the CVAE head (builder.py:91)
     cfg = dataclasses.replace(
@@ -46,9 +49,18 @@ def load_pretrained_model(
     )
     tokenizer = load_tokenizer(None if model_path.startswith("random:") else model_path)
 
+    def _maybe_quantize(params):
+        if quantize == "int8":
+            from handsonvlm_tpu.ops.int8_matmul import quantize_llama
+
+            params["llama"] = quantize_llama(params["llama"])
+        elif quantize:
+            raise ValueError(f"unknown quantize mode {quantize}")
+        return params
+
     if model_path.startswith("random:"):
         params = init_handsonvlm(jax.random.PRNGKey(0), cfg)
-        return params, cfg, tokenizer
+        return _maybe_quantize(params), cfg, tokenizer
 
     if os.path.isdir(os.path.join(model_path, "orbax")) or os.path.exists(
         os.path.join(model_path, "_CHECKPOINT_METADATA")
@@ -56,7 +68,7 @@ def load_pretrained_model(
         from handsonvlm_tpu.core.checkpoint import restore_params
 
         params = restore_params(model_path, cfg, dtype)
-        return params, cfg, load_tokenizer(model_path)
+        return _maybe_quantize(params), cfg, load_tokenizer(model_path)
 
     from handsonvlm_tpu.convert.hf_to_jax import convert_handsonvlm, load_state_dict
 
@@ -67,4 +79,4 @@ def load_pretrained_model(
             f"checkpoint at {model_path} lacks the vision tower; provide a "
             "full HandsOnVLM checkpoint"
         )
-    return params, cfg, tokenizer
+    return _maybe_quantize(params), cfg, tokenizer
