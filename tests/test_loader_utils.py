@@ -87,3 +87,16 @@ def test_build_logger(tmp_path):
     assert lg2 is lg
     n_file = sum(isinstance(h, logging.FileHandler) for h in lg.handlers)
     assert n_file == 1
+
+
+def test_distributed_single_process():
+    from handsonvlm_tpu.parallel.distributed import (
+        gather_metrics,
+        initialize,
+        is_main_process,
+    )
+
+    initialize()  # no-op single process
+    assert is_main_process()
+    out = gather_metrics({"a": np.ones((2, 3)), "b": [np.zeros(4)]})
+    assert out["a"].shape == (2, 3)
