@@ -26,6 +26,7 @@ def main():
     p.add_argument("--temperature", type=float, default=0.5)
     p.add_argument("--top-p", type=float, default=0.9)
     p.add_argument("--max-new-tokens", type=int, default=100)
+    p.add_argument("--int8", action="store_true", help="int8 weight-only decoder")
     args = p.parse_args()
 
     import jax
@@ -39,7 +40,9 @@ def main():
     from handsonvlm_tpu.infer.sampler import clip_pred_hands, generate_host
     from handsonvlm_tpu.infer.viz import create_trajectory_video
 
-    params, cfg, tokenizer = load_pretrained_model(args.model_path, args.preset)
+    params, cfg, tokenizer = load_pretrained_model(
+        args.model_path, args.preset, quantize="int8" if args.int8 else None
+    )
 
     # frames: 10 unique, repeated to fill the num_frames interface
     # (epic_dataset.py:89-95 tiling, generalized to any frame budget)
