@@ -71,3 +71,18 @@ def test_forward_jits_and_is_deterministic():
     l1 = float(f(params, batch))
     l2 = float(f(params, batch))
     assert l1 == l2
+
+
+def test_forward_flash_kernel_matches_xla():
+    """Full model with the Pallas flash kernel (interpret mode on CPU)."""
+    params = init_handsonvlm(jax.random.PRNGKey(0), CFG)
+    batch = _batch()
+    out_xla = forward(params, CFG, **batch, attn_impl="xla")
+    out_flash = forward(params, CFG, **batch, attn_impl="flash")
+    np.testing.assert_allclose(
+        float(out_flash["loss"]), float(out_xla["loss"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_flash["logits"]), np.asarray(out_xla["logits"]),
+        atol=5e-4, rtol=1e-3,
+    )
