@@ -75,6 +75,38 @@ def save_params(ckpt_dir: str, params: Any) -> None:
     ckptr.wait_until_finished()
 
 
+def save_artifact(out_dir: str, name: str, tree: Any, meta: Optional[dict] = None) -> None:
+    """Save a partial-parameter artifact (adapter-style checkpoint).
+
+    Reference equivalents: `mm_projector.bin` adapter-only saves
+    (handsonvlm/train/train.py:104-122) and LoRA `non_lora_trainables.bin`
+    (train.py:407-413). `meta` lands in `<out_dir>/<name>.json` (e.g. the
+    base-model path, mirroring config.mm_projector bookkeeping)."""
+    import json
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.join(os.path.abspath(out_dir), name)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, tree, force=True)
+    ckptr.wait_until_finished()
+    if meta is not None:
+        with open(path + ".json", "w") as f:
+            json.dump(meta, f)
+
+
+def restore_artifact(out_dir: str, name: str, template: Any = None) -> Any:
+    import orbax.checkpoint as ocp
+
+    path = os.path.join(os.path.abspath(out_dir), name)
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, template) if template is not None else ckptr.restore(path)
+
+
+def has_artifact(out_dir: str, name: str) -> bool:
+    return os.path.isdir(os.path.join(os.path.abspath(out_dir), name))
+
+
 def restore_params(ckpt_dir: str, cfg=None, dtype=None) -> Any:
     import orbax.checkpoint as ocp
 

@@ -33,6 +33,43 @@ def load_tokenizer(model_path: Optional[str], model_max_length: int = 2048):
     return MockTokenizer(model_max_length)
 
 
+def _load_adapter_checkpoint(model_path, preset, dtype, _maybe_quantize):
+    """Adapter-only checkpoint dirs produced by the trainer's
+    --tune-mm-mlp-adapter / --lora-r paths. The counterpart of the
+    reference builder's mm_projector.bin and LoRA
+    base+non_lora_trainables+merge loads (handsonvlm/model/builder.py:37-87).
+
+    The artifact's .json metadata names the base checkpoint; the adapter is
+    grafted onto it (projector swap, or non-LoRA trainables restore +
+    adapter merge into the decoder weights)."""
+    import json
+
+    from handsonvlm_tpu.core.checkpoint import has_artifact, restore_artifact
+
+    kind = "lora" if has_artifact(model_path, "lora") else "mm_projector"
+    meta_path = os.path.join(model_path, kind + ".json")
+    if not os.path.exists(meta_path):
+        raise ValueError(
+            f"{model_path} holds a '{kind}' adapter but no {kind}.json metadata "
+            "naming its base checkpoint; re-save with the trainer or write "
+            '{"base": <path>, "preset": <preset>} alongside it'
+        )
+    with open(meta_path) as f:
+        meta = json.load(f)
+    params, cfg, tokenizer = load_pretrained_model(
+        meta["base"], meta.get("preset", preset), dtype
+    )
+    if kind == "mm_projector":
+        params["projector"] = restore_artifact(model_path, "mm_projector")
+    else:
+        from handsonvlm_tpu.models.lora import merge_lora
+
+        extra = restore_artifact(model_path, "non_lora_trainables")
+        params.update(extra)
+        params["llama"] = merge_lora(params["llama"], restore_artifact(model_path, "lora"))
+    return _maybe_quantize(params), cfg, tokenizer
+
+
 def load_pretrained_model(
     model_path: str,
     preset: str = "7b",
@@ -61,6 +98,12 @@ def load_pretrained_model(
     if model_path.startswith("random:"):
         params = init_handsonvlm(jax.random.PRNGKey(0), cfg)
         return _maybe_quantize(params), cfg, tokenizer
+
+    if os.path.isdir(model_path) and (
+        os.path.isdir(os.path.join(model_path, "mm_projector"))
+        or os.path.isdir(os.path.join(model_path, "lora"))
+    ):
+        return _load_adapter_checkpoint(model_path, preset, dtype, _maybe_quantize)
 
     if os.path.isdir(os.path.join(model_path, "orbax")) or os.path.exists(
         os.path.join(model_path, "_CHECKPOINT_METADATA")

@@ -36,6 +36,10 @@ def main():
     p.add_argument("--lora-r", type=int, default=0,
                    help="enable LoRA with this rank (reference: 128)")
     p.add_argument("--lora-alpha", type=float, default=256.0)
+    p.add_argument("--tune-mm-mlp-adapter", action="store_true",
+                   help="train only the mm_projector and save adapter-only "
+                        "checkpoints (reference train.py:104-122 "
+                        "mm_projector.bin; the LLaVA pretraining recipe)")
     p.add_argument("--rephrase-rate", type=float, default=0.3)
     p.add_argument("--use-percentage", type=float, default=1.0)
     p.add_argument("--save-every", type=int, default=0, help="steps; 0 = per epoch")
@@ -56,7 +60,11 @@ def main():
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from handsonvlm_tpu.core.checkpoint import restore_train_state, save_train_state
+    from handsonvlm_tpu.core.checkpoint import (
+        restore_train_state,
+        save_artifact,
+        save_train_state,
+    )
     from handsonvlm_tpu.data.epic_dataset import (
         EpicConversationDataset,
         EpicMultiturnConversationDataset,
@@ -88,7 +96,24 @@ def main():
             jax.random.PRNGKey(42), cfg.llama, r=args.lora_r, alpha=args.lora_alpha
         )
         freeze = ("vision", "llama")  # adapters + projector + traj head train
+    if args.tune_mm_mlp_adapter:
+        if args.lora_r:
+            raise SystemExit("--tune-mm-mlp-adapter is exclusive with --lora-r")
+        freeze = tuple(k for k in params if k != "projector")
     params = shard_params(params, mesh)
+
+    def save_adapters(params, out_dir):
+        """Adapter-only artifacts next to the full checkpoints: the load-side
+        counterpart is infer/builder.py's adapter path."""
+        if args.tune_mm_mlp_adapter:
+            save_artifact(out_dir, "mm_projector", params["projector"],
+                          meta={"base": args.model_path, "preset": args.preset})
+        if args.lora_r:
+            save_artifact(out_dir, "lora", params["lora"],
+                          meta={"base": args.model_path, "preset": args.preset,
+                                "r": args.lora_r, "alpha": args.lora_alpha})
+            save_artifact(out_dir, "non_lora_trainables",
+                          {"projector": params["projector"], "traj": params["traj"]})
 
     steps_per_epoch = max(args.samples_per_epoch // args.batch_size, 1)
     total_steps = args.max_steps or args.epochs * steps_per_epoch
@@ -190,10 +215,12 @@ def main():
             metrics_log.flush()
         if step % save_every == 0 or step >= total_steps:
             save_train_state(ckpt_dir, state, step)
+            save_adapters(state.params, args.output_dir)
             print(f"saved checkpoint at step {step}")
         if step >= total_steps:
             break
     save_train_state(ckpt_dir, state, int(state.step))
+    save_adapters(state.params, args.output_dir)
     print("training complete")
 
 
