@@ -489,6 +489,7 @@ def generate_host(
     top_p: float = 0.9,
     eos_token_id: int = EOS_TOKEN_ID,
     attn_impl: str = "auto",
+    attn_mask=None,
     on_token=None,
 ) -> SampleOutput:
     """Host-driven generate: jitted prefill + jitted per-token step.
@@ -496,7 +497,9 @@ def generate_host(
     Mirrors the reference sample() control flow (handsonvlm.py:543-647) with
     a KV cache; produces the same SampleOutput as `generate`. `on_token`
     (token_id:int -> None) streams tokens as they are sampled (the
-    reference's TextStreamer equivalent, llava/serve/cli.py).
+    reference's TextStreamer equivalent, llava/serve/cli.py). `attn_mask`
+    marks valid prompt positions for LEFT-padded (bucketed) prompts, as in
+    generate_chunked.
     """
     import numpy as np
 
@@ -507,7 +510,8 @@ def generate_host(
         max_len = t_prompt + max_new_tokens + 1
 
     last_hidden, cache, cache_mask = _prefill_jit(
-        params, cfg, input_ids, jnp.asarray(images), max_len, attn_impl
+        params, cfg, input_ids, jnp.asarray(images), max_len, attn_impl,
+        None if attn_mask is None else jnp.asarray(attn_mask),
     )
 
     rng, r0 = jax.random.split(rng)

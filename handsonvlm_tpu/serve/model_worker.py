@@ -98,6 +98,25 @@ class ModelWorker:
     def stop(self):
         self._stop.set()
 
+    def _frames(self, payload: dict) -> np.ndarray:
+        if payload.get("image_b64"):
+            from PIL import Image
+
+            from handsonvlm_tpu.data.video_io import clip_preprocess
+
+            img = Image.open(io.BytesIO(base64.b64decode(payload["image_b64"])))
+            frame = clip_preprocess(img)
+            return np.tile(frame[None], (self.cfg.num_frames, 1, 1, 1))
+        return np.zeros(
+            (self.cfg.num_frames, 3, self.cfg.vision.image_size, self.cfg.vision.image_size),
+            np.float32,
+        )
+
+    def _apply_options(self, payload: dict):
+        self.engine.temperature = float(payload.get("temperature", 0.5))
+        self.engine.top_p = float(payload.get("top_p", 0.9))
+        self.engine.max_new_tokens = int(payload.get("max_new_tokens", 100))
+
     def generate(self, payload: dict) -> dict:
         import jax
 
@@ -105,26 +124,11 @@ class ModelWorker:
             self.queue_length += 1
         self.semaphore.acquire()
         try:
-            prompt = payload["prompt"]
-            if "image_b64" in payload and payload["image_b64"]:
-                from PIL import Image
-
-                from handsonvlm_tpu.data.video_io import clip_preprocess
-
-                img = Image.open(io.BytesIO(base64.b64decode(payload["image_b64"])))
-                frame = clip_preprocess(img)
-                frames = np.tile(frame[None], (self.cfg.num_frames, 1, 1, 1))
-            else:
-                frames = np.zeros(
-                    (self.cfg.num_frames, 3, self.cfg.vision.image_size, self.cfg.vision.image_size),
-                    np.float32,
-                )
-            self.engine.temperature = float(payload.get("temperature", 0.5))
-            self.engine.top_p = float(payload.get("top_p", 0.9))
-            self.engine.max_new_tokens = int(payload.get("max_new_tokens", 100))
+            frames = self._frames(payload)
+            self._apply_options(payload)
             self._seed += 1
             pred, valid, gen_ids = self.engine.infer(
-                prompt, frames[None], jax.random.PRNGKey(self._seed)
+                payload["prompt"], frames[None], jax.random.PRNGKey(self._seed)
             )
             text = (
                 self.engine.tokenizer.decode(gen_ids)
@@ -137,6 +141,83 @@ class ModelWorker:
                 "trajectory_valid": bool(valid[0]),
                 "error_code": 0,
             }
+        finally:
+            self.semaphore.release()
+            with self.lock:
+                self.queue_length -= 1
+
+    def generate_stream(self, payload: dict):
+        """Yield accumulated-text dicts per sampled token, then a final dict
+        with the decoded trajectory.
+
+        Protocol matches the reference worker's generate_stream
+        (llava/serve/model_worker.py:128-180): each yielded dict carries the
+        full text so far + error_code 0; consumers split on b'\\0'. Driven by
+        the host decode loop's on_token hook (one jitted step per token)."""
+        import queue as queue_mod
+
+        import jax
+
+        from handsonvlm_tpu.data.tokenization import tokenizer_image_token
+        from handsonvlm_tpu.infer.sampler import clip_pred_hands, generate_host
+
+        with self.lock:
+            self.queue_length += 1
+        self.semaphore.acquire()
+        try:
+            frames = self._frames(payload)
+            self._apply_options(payload)
+            self._seed += 1
+            ids = self.engine.build_prompt_ids(payload["prompt"])
+            # LEFT-pad to the engine's bucket size: one prefill compile per
+            # bucket instead of one per prompt length (see InferenceEngine.infer)
+            t = ids.shape[1]
+            m = self.engine.pad_prompt_multiple
+            bucket = ((t + m - 1) // m) * m
+            attn = np.ones((1, bucket), bool)
+            if bucket != t:
+                pad = np.full((1, bucket - t), self.engine.tokenizer.pad_token_id, np.int64)
+                ids = np.concatenate([pad, ids], axis=1)
+                attn[:, : bucket - t] = False
+            q: queue_mod.Queue = queue_mod.Queue()
+            decode = self.engine.tokenizer.decode
+            pieces = []
+
+            def on_token(tok_id: int):
+                pieces.append(tok_id)
+                q.put({"text": decode(pieces), "error_code": 0})
+
+            def run():
+                try:
+                    out = generate_host(
+                        self.engine.params, self.cfg, ids, frames[None],
+                        jax.random.PRNGKey(self._seed),
+                        max_new_tokens=self.engine.max_new_tokens,
+                        temperature=self.engine.temperature,
+                        top_p=self.engine.top_p, attn_mask=attn,
+                        on_token=on_token,
+                    )
+                    pred, valid = clip_pred_hands(
+                        np.asarray(out.pred_hands), np.asarray(out.num_hands)
+                    )
+                    q.put({
+                        "text": decode(pieces),
+                        "pred_hands": pred.tolist(),
+                        "trajectory_valid": bool(valid[0]),
+                        "error_code": 0,
+                        "finish": True,
+                    })
+                except Exception as e:  # noqa: BLE001 — surface to the client
+                    q.put({"error": str(e), "error_code": 1, "finish": True})
+                q.put(None)
+
+            t = threading.Thread(target=run, daemon=True)
+            t.start()
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
         finally:
             self.semaphore.release()
             with self.lock:
@@ -156,6 +237,23 @@ def serve_worker(worker: ModelWorker, host: str, port: int):
             self.end_headers()
             self.wfile.write(body)
 
+        def _stream(self, chunks):
+            """Chunked transfer encoding; each item is JSON + b'\\0'
+            (the reference's llava/serve worker stream protocol)."""
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            try:
+                for item in chunks:
+                    body = json.dumps(item).encode() + b"\0"
+                    self.wfile.write(f"{len(body):x}\r\n".encode() + body + b"\r\n")
+                    self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                chunks.close()  # client went away; run the generator's finally
+                return
+            self.wfile.write(b"0\r\n\r\n")
+
         def do_POST(self):
             length = int(self.headers.get("Content-Length", 0))
             data = json.loads(self.rfile.read(length) or b"{}")
@@ -166,6 +264,8 @@ def serve_worker(worker: ModelWorker, host: str, port: int):
                     self._json(200, worker.generate(data))
                 except Exception as e:  # noqa: BLE001
                     self._json(500, {"error": str(e), "error_code": 1})
+            elif self.path == "/worker_generate_stream":
+                self._stream(worker.generate_stream(data))
             else:
                 self._json(404, {"error": "unknown path"})
 

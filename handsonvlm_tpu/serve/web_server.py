@@ -1,0 +1,216 @@
+"""Web chat UI: browser frontend over the controller/worker stack.
+
+Replaces `llava/serve/gradio_web_server.py` (419 LoC of gradio plumbing)
+with a single-page stdlib app: image upload + prompt + sampling knobs,
+streamed token display (chunked transfer pass-through from the worker's
+/worker_generate_stream), and a client-side canvas overlay of the predicted
+hand trajectory — the browser analogue of the reference's trajectory-video
+render (handsonvlm/evaluation/utils.py:create_trajectory_video).
+
+Endpoints:
+  GET  /            -> HTML page
+  POST /list_models -> proxied controller /list_models
+  POST /generate    -> resolves a worker via the controller, re-streams its
+                       \0-delimited JSON chunks to the browser
+
+Usage:
+  python -m handsonvlm_tpu.serve.web_server --controller http://localhost:10000
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+PAGE = """<!doctype html>
+<html><head><meta charset="utf-8"><title>HandsOnVLM</title>
+<style>
+ body{font-family:system-ui,sans-serif;max-width:900px;margin:24px auto;padding:0 12px}
+ textarea,input,select,button{font:inherit;padding:6px;margin:4px 0}
+ #out{white-space:pre-wrap;border:1px solid #ccc;border-radius:6px;padding:10px;min-height:3em}
+ #wrap{position:relative;display:inline-block}
+ #overlay{position:absolute;left:0;top:0;pointer-events:none}
+ .row{display:flex;gap:12px;align-items:center;flex-wrap:wrap}
+ label{font-size:.9em;color:#444}
+</style></head><body>
+<h2>HandsOnVLM &mdash; hand trajectory chat</h2>
+<div class="row">
+ <label>Model <select id="model"></select></label>
+ <label>Temperature <input id="temp" type="number" step="0.1" value="0.5" style="width:5em"></label>
+ <label>Top-p <input id="topp" type="number" step="0.05" value="0.9" style="width:5em"></label>
+ <label>Max tokens <input id="maxtok" type="number" value="100" style="width:5em"></label>
+</div>
+<div class="row">
+ <input id="img" type="file" accept="image/*">
+ <div id="wrap"><img id="preview" style="max-width:456px;display:none">
+  <canvas id="overlay"></canvas></div>
+</div>
+<textarea id="prompt" rows="2" style="width:100%"
+ placeholder="Where should my hand move to reach for the cup?"></textarea>
+<button id="go">Send</button>
+<h3>Response</h3><div id="out"></div>
+<script>
+const $ = id => document.getElementById(id);
+let imgB64 = null;
+fetch('/list_models', {method:'POST'}).then(r=>r.json()).then(d=>{
+  for (const m of d.models) { const o=document.createElement('option'); o.textContent=m; $('model').append(o); }
+});
+$('img').onchange = () => {
+  const f = $('img').files[0]; if (!f) return;
+  const rd = new FileReader();
+  rd.onload = () => {
+    imgB64 = rd.result.split(',')[1];
+    $('preview').src = rd.result; $('preview').style.display='block';
+    $('preview').onload = () => {
+      const c=$('overlay'); c.width=$('preview').width; c.height=$('preview').height;
+      c.getContext('2d').clearRect(0,0,c.width,c.height);
+    };
+  };
+  rd.readAsDataURL(f);
+};
+function drawTraj(pred) {
+  // pred: (1,2,4,2) normalized [0,1] coords; gradient polyline per hand
+  const c=$('overlay'), ctx=c.getContext('2d');
+  ctx.clearRect(0,0,c.width,c.height);
+  const colors=[[255,64,64],[64,128,255]];
+  pred[0].forEach((hand,h)=>{
+    ctx.lineWidth=3;
+    for (let i=1;i<hand.length;i++){
+      const a=1 - 0.8*(hand.length-1-i)/hand.length;
+      ctx.strokeStyle=`rgba(${colors[h]},${a})`;
+      ctx.beginPath();
+      ctx.moveTo(hand[i-1][0]*c.width, hand[i-1][1]*c.height);
+      ctx.lineTo(hand[i][0]*c.width, hand[i][1]*c.height);
+      ctx.stroke();
+    }
+    hand.forEach(p=>{ctx.fillStyle=`rgb(${colors[h]})`;
+      ctx.beginPath();ctx.arc(p[0]*c.width,p[1]*c.height,4,0,7);ctx.fill();});
+  });
+}
+$('go').onclick = async () => {
+  $('out').textContent=''; $('go').disabled=true;
+  try {
+    const resp = await fetch('/generate', {method:'POST', body: JSON.stringify({
+      model: $('model').value, prompt: $('prompt').value, image_b64: imgB64,
+      temperature: +$('temp').value, top_p: +$('topp').value,
+      max_new_tokens: +$('maxtok').value})});
+    const reader = resp.body.getReader(); const dec = new TextDecoder();
+    let buf='';
+    for(;;){
+      const {done, value} = await reader.read(); if (done) break;
+      buf += dec.decode(value, {stream:true});
+      const parts = buf.split('\\0'); buf = parts.pop();
+      for (const p of parts) { if (!p) continue;
+        const d = JSON.parse(p);
+        if (d.error_code) { $('out').textContent = 'error: ' + d.error; continue; }
+        $('out').textContent = d.text;
+        if (d.pred_hands && d.trajectory_valid) drawTraj(d.pred_hands);
+      }
+    }
+  } finally { $('go').disabled=false; }
+};
+</script></body></html>
+"""
+
+
+def _post_json(url: str, payload: dict, timeout: float = 10.0) -> dict:
+    req = urllib.request.Request(
+        url, json.dumps(payload).encode(), {"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def serve_web(controller_addr: str, host: str = "0.0.0.0", port: int = 7860):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _send(self, code, body: bytes, ctype="application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/":
+                self._send(200, PAGE.encode(), "text/html; charset=utf-8")
+            else:
+                self._send(404, b'{"error": "unknown path"}')
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            data = json.loads(self.rfile.read(length) or b"{}")
+            if self.path == "/list_models":
+                try:
+                    models = _post_json(controller_addr + "/list_models", {})
+                except OSError as e:
+                    self._send(502, json.dumps({"error": str(e), "models": []}).encode())
+                    return
+                self._send(200, json.dumps(models).encode())
+            elif self.path == "/generate":
+                self._proxy_generate(data)
+            else:
+                self._send(404, b'{"error": "unknown path"}')
+
+        def _proxy_generate(self, data: dict):
+            try:
+                addr = _post_json(
+                    controller_addr + "/get_worker_address", {"model": data.get("model", "")}
+                )["address"]
+            except OSError as e:
+                self._send(502, json.dumps({"error": f"controller unreachable: {e}"}).encode())
+                return
+            if not addr:
+                self._send(503, json.dumps(
+                    {"error": f"no worker serves model {data.get('model')!r}"}
+                ).encode())
+                return
+            req = urllib.request.Request(
+                addr + "/worker_generate_stream", json.dumps(data).encode(),
+                {"Content-Type": "application/json"},
+            )
+            try:
+                upstream = urllib.request.urlopen(req, timeout=600)
+            except OSError as e:
+                self._send(502, json.dumps({"error": f"worker unreachable: {e}"}).encode())
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            try:
+                while True:
+                    # read1: at most one upstream chunk — read(n) would loop
+                    # to fill n bytes, buffering the whole stream into one burst
+                    chunk = upstream.read1(4096)
+                    if not chunk:
+                        break
+                    self.wfile.write(f"{len(chunk):x}\r\n".encode() + chunk + b"\r\n")
+                    self.wfile.flush()
+                self.wfile.write(b"0\r\n\r\n")
+            except (BrokenPipeError, ConnectionResetError):
+                pass
+            finally:
+                upstream.close()
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--controller", default="http://localhost:10000")
+    args = p.parse_args()
+    server = serve_web(args.controller, args.host, args.port)
+    print(f"web UI on http://{args.host}:{args.port} (controller {args.controller})")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -74,8 +74,10 @@ def test_http_roundtrip_controller():
 
 
 def test_worker_generate_e2e():
-    """Full loop: controller + tiny-model worker + generate request."""
+    """Full loop: controller + tiny-model worker + generate request,
+    the streamed variant, and the web UI proxy on top."""
     from handsonvlm_tpu.serve.model_worker import ModelWorker, serve_worker
+    from handsonvlm_tpu.serve.web_server import serve_web
 
     controller, ctrl_server = serve_controller("127.0.0.1", 0)
     ctrl_port = ctrl_server.server_address[1]
@@ -89,6 +91,12 @@ def test_worker_generate_e2e():
     w_server = serve_worker(worker, "127.0.0.1", 0)
     w_port = w_server.server_address[1]
     threading.Thread(target=w_server.serve_forever, daemon=True).start()
+    # register with the real worker port so the web proxy can reach it
+    worker.worker_addr = f"http://127.0.0.1:{w_port}"
+    worker.register()
+    web_server = serve_web(ctrl_addr, "127.0.0.1", 0)
+    web_port = web_server.server_address[1]
+    threading.Thread(target=web_server.serve_forever, daemon=True).start()
     try:
         addr = _post(ctrl_addr + "/get_worker_address", {"model": "handsonvlm-tiny"})["address"]
         assert addr  # registered at startup
@@ -100,7 +108,48 @@ def test_worker_generate_e2e():
         assert out["error_code"] == 0
         assert isinstance(out["text"], str)
         assert np.asarray(out["pred_hands"]).shape == (1, 2, 4, 2)
+
+        # streamed: \0-delimited accumulated-text chunks, final carries the traj
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{w_port}/worker_generate_stream",
+            json.dumps({"prompt": "Where?", "max_new_tokens": 4}).encode(),
+            {"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            chunks = [json.loads(c) for c in r.read().split(b"\0") if c]
+        assert len(chunks) >= 2  # at least one per-token chunk + the final
+        assert all(c["error_code"] == 0 for c in chunks)
+        texts = [c["text"] for c in chunks]
+        assert all(texts[i + 1].startswith(texts[i]) for i in range(len(texts) - 2))
+        assert chunks[-1].get("finish") and "pred_hands" in chunks[-1]
+        assert np.asarray(chunks[-1]["pred_hands"]).shape == (1, 2, 4, 2)
+
+        # web UI: page, model list, generate proxy
+        web = f"http://127.0.0.1:{web_port}"
+        with urllib.request.urlopen(web + "/", timeout=10) as r:
+            assert b"HandsOnVLM" in r.read()
+        assert _post(web + "/list_models", {})["models"] == ["handsonvlm-tiny"]
+        req = urllib.request.Request(
+            web + "/generate",
+            json.dumps({"model": "handsonvlm-tiny", "prompt": "Hi", "max_new_tokens": 3}).encode(),
+            {"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            chunks = [json.loads(c) for c in r.read().split(b"\0") if c]
+        assert chunks and chunks[-1].get("finish")
+
+        # unknown model through the proxy -> clean 503
+        req = urllib.request.Request(
+            web + "/generate", json.dumps({"model": "nope", "prompt": "x"}).encode(),
+            {"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req, timeout=10)
+            assert False, "expected 503"
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
     finally:
+        web_server.shutdown()
         w_server.shutdown()
         ctrl_server.shutdown()
         worker.stop()
