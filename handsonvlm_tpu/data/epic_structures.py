@@ -79,14 +79,20 @@ def actions_from_df(df: pd.DataFrame, partition: str, t_ant: float = C.ANTICIPAT
 
 
 def _open_lmdb(path: str):
-    """lmdbdict if available, else raw lmdb with pickle values."""
+    """lmdbdict if available, else raw lmdb, else the native C++ reader
+    (data/native_lmdb.py — no liblmdb in this environment)."""
     try:
         from lmdbdict import lmdbdict
 
         return lmdbdict(path, "r")
     except ImportError:
         pass
-    import lmdb  # may also be absent; caller gates
+    try:
+        import lmdb  # may also be absent
+    except ImportError:
+        from handsonvlm_tpu.data.native_lmdb import NativeLmdbDict
+
+        return NativeLmdbDict(path)
 
     env = lmdb.open(path, readonly=True, lock=False, subdir=os.path.isdir(path))
 
