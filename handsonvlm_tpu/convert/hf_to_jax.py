@@ -79,8 +79,19 @@ def convert_llama(sd: Mapping[str, np.ndarray], cfg: LlamaConfig, dtype=jnp.floa
     L = cfg.num_layers
     p = prefix
 
+    def pad_vocab(w: np.ndarray, axis: int) -> np.ndarray:
+        """Zero-pad the vocab dim to cfg.padded_vocab_size (sharding layout;
+        pad logits are masked in lm_logits, pad rows never gathered)."""
+        extra = cfg.padded_vocab_size - w.shape[axis]
+        if extra <= 0:
+            return w
+        widths = [(0, 0)] * w.ndim
+        widths[axis] = (0, extra)
+        return np.pad(w, widths)
+
     params = {
-        "embed": {"weight": jnp.asarray(_np(sd[p + "embed_tokens.weight"]), dtype)},
+        "embed": {"weight": jnp.asarray(
+            pad_vocab(_np(sd[p + "embed_tokens.weight"]), 0), dtype)},
         "layers": {
             "attn": {
                 "wq": _stack(sd, p + "layers.{i}.self_attn.q_proj.weight", L, True, dtype),
@@ -104,7 +115,8 @@ def convert_llama(sd: Mapping[str, np.ndarray], cfg: LlamaConfig, dtype=jnp.floa
     }
     lm_key = "lm_head.weight"
     if lm_key in sd and not cfg.tie_word_embeddings:
-        params["lm_head"] = {"weight": jnp.asarray(_np(sd[lm_key]).T, dtype)}
+        params["lm_head"] = {"weight": jnp.asarray(
+            pad_vocab(_np(sd[lm_key]).T, 1), dtype)}
     return params
 
 

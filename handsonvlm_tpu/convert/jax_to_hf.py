@@ -19,9 +19,11 @@ def _np(x) -> np.ndarray:
     return np.asarray(x, np.float32)
 
 
-def export_llama(params, prefix: str = "model.") -> Dict[str, np.ndarray]:
+def export_llama(params, prefix: str = "model.", vocab_size: int = None) -> Dict[str, np.ndarray]:
     sd: Dict[str, np.ndarray] = {}
-    sd[prefix + "embed_tokens.weight"] = _np(params["embed"]["weight"])
+    # strip sharding-layout vocab padding (convert/hf_to_jax.pad_vocab)
+    v = vocab_size if vocab_size is not None else params["embed"]["weight"].shape[0]
+    sd[prefix + "embed_tokens.weight"] = _np(params["embed"]["weight"][:v])
     L = params["layers"]["attn"]["wq"].shape[0]
     for i in range(L):
         lp = prefix + f"layers.{i}."
@@ -38,7 +40,7 @@ def export_llama(params, prefix: str = "model.") -> Dict[str, np.ndarray]:
         sd[lp + "post_attention_layernorm.weight"] = _np(params["layers"]["mlp_norm"]["scale"][i])
     sd[prefix + "norm.weight"] = _np(params["final_norm"]["scale"])
     if "lm_head" in params:
-        sd["lm_head.weight"] = _np(params["lm_head"]["weight"]).T
+        sd["lm_head.weight"] = _np(params["lm_head"]["weight"][:, :v]).T
     return sd
 
 
@@ -68,8 +70,8 @@ def export_clip_vision(params, prefix: str = "vision_model.") -> Dict[str, np.nd
     return sd
 
 
-def export_handsonvlm(params) -> Dict[str, np.ndarray]:
-    sd = export_llama(params["llama"])
+def export_handsonvlm(params, vocab_size: int = 32101) -> Dict[str, np.ndarray]:
+    sd = export_llama(params["llama"], vocab_size=vocab_size)
     sd["model.mm_projector.weight"] = _np(params["projector"]["kernel"]).T
     sd["model.mm_projector.bias"] = _np(params["projector"]["bias"])
     if "vision" in params:

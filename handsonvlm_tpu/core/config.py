@@ -34,6 +34,16 @@ class LlamaConfig:
     rope_theta: float = 10000.0
     rms_norm_eps: float = 1e-6
     tie_word_embeddings: bool = False
+    # Pad embed/lm_head rows to a multiple so the vocab dim shards under
+    # FSDP/TP (32101 is prime-ish and replicates otherwise, ~0.5 GB/device
+    # at 7B). Pad logit columns are masked to -inf in lm_logits; pad rows
+    # are never gathered (all ids < vocab_size). 0 disables.
+    pad_vocab_multiple: int = 0
+
+    @property
+    def padded_vocab_size(self) -> int:
+        m = self.pad_vocab_multiple
+        return -(-self.vocab_size // m) * m if m else self.vocab_size
 
     @property
     def kv_heads(self) -> int:
@@ -179,6 +189,7 @@ def vicuna_7b_config(**overrides) -> HandsOnVLMConfig:
             intermediate_size=11008,
             num_layers=32,
             num_heads=32,
+            pad_vocab_multiple=128,  # 32101 -> 32128: shards up to 32 ways
         ),
         param_dtype="bfloat16",
         compute_dtype="bfloat16",
@@ -193,6 +204,7 @@ def vicuna_13b_config(**overrides) -> HandsOnVLMConfig:
             intermediate_size=13824,
             num_layers=40,
             num_heads=40,
+            pad_vocab_multiple=128,
         ),
         param_dtype="bfloat16",
         compute_dtype="bfloat16",

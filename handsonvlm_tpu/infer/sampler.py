@@ -328,6 +328,8 @@ def decode_chunk(
     cur_waypoint: jnp.ndarray,  # (B,2,2)
     finished: jnp.ndarray,  # (B,) bool
     rng: jax.Array,
+    acc: Optional[Tuple] = None,  # (tokens (B,N), wps (B,N,2,2), hands (B,N))
+    offset=None,  # traced scalar: where this chunk's outputs land in acc
     *,
     k: int,
     temperature: float = 0.5,
@@ -340,8 +342,13 @@ def decode_chunk(
     bound) and the full fused while_loop (heavy to compile at 7B over a
     remote-compile tunnel). RNG split order matches generate_host exactly.
 
-    Returns (cache, cur_token, cur_waypoint, finished, rng, tokens (B,k),
-    waypoints (B,k,2,2), is_hand (B,k))."""
+    With `acc`/`offset`, chunk outputs are written into the preallocated
+    device accumulators at a *traced* offset — every chunk reuses one
+    compiled program and the host fetches results once after the loop
+    (each extra device_get costs a full tunnel round trip, ~35 ms).
+
+    Returns (cache, cur_token, cur_waypoint, finished, rng, tokens (B,k)|acc
+    tokens, waypoints, is_hand)."""
     b = cur_token.shape[0]
 
     def body(i, state):
@@ -370,7 +377,16 @@ def decode_chunk(
         jnp.zeros((b, k, 2, 2), jnp.float32),
         jnp.zeros((b, k), bool),
     )
-    return jax.lax.fori_loop(0, k, body, init)
+    out = jax.lax.fori_loop(0, k, body, init)
+    if acc is None:
+        return out
+    cache, tok, wp, fin, rng, tokens, wps, hands = out
+    acc_tokens, acc_wps, acc_hands = acc
+    off = jnp.asarray(offset, jnp.int32)
+    acc_tokens = jax.lax.dynamic_update_slice(acc_tokens, tokens, (0, off))
+    acc_wps = jax.lax.dynamic_update_slice(acc_wps, wps, (0, off, 0, 0))
+    acc_hands = jax.lax.dynamic_update_slice(acc_hands, hands, (0, off))
+    return cache, tok, wp, fin, rng, acc_tokens, acc_wps, acc_hands
 
 
 def generate_chunked(
@@ -413,40 +429,34 @@ def generate_chunked(
         params, cfg, last_hidden, r0, temperature=temperature, top_p=top_p,
     )
 
-    # device-side accumulation: exactly ONE host sync (the `finished` flag)
-    # per chunk — every extra transfer costs a full tunnel round trip
+    # device-side accumulation into preallocated buffers: ONE host sync (the
+    # `finished` flag) per chunk and ONE bulk fetch at the end — every extra
+    # transfer costs a full tunnel round trip (~35 ms, perf_e2e_breakdown)
+    n_total = 1 + n_chunks * chunk
+    acc = (
+        jnp.zeros((b, n_total), jnp.int32).at[:, 0].set(token),
+        jnp.zeros((b, n_total, 2, 2), jnp.float32).at[:, 0].set(waypoint),
+        jnp.zeros((b, n_total), bool).at[:, 0].set(token == cfg.hand_token_id),
+    )
     token_h = np.asarray(token)
-    dev_tokens = [token[:, None]]
-    dev_wps = [waypoint[:, None]]
-    dev_hands = [jnp.asarray(token == cfg.hand_token_id)[:, None]]
-    takes = [1]
     finished_h = token_h == eos_token_id
     finished = jnp.asarray(finished_h)
 
     produced = 1
     while produced < max_new_tokens and not finished_h.all():
-        (cache, token, waypoint, finished, rng, tokens, wps, hands) = decode_chunk(
+        (cache, token, waypoint, finished, rng, *acc) = decode_chunk(
             params, cfg, cache, cache_mask, token, waypoint, finished, rng,
+            tuple(acc), produced,
             k=chunk, temperature=temperature, top_p=top_p, attn_impl=attn_impl,
             eos_token_id=eos_token_id,
         )
-        take = min(chunk, max_new_tokens - produced)
-        dev_tokens.append(tokens)
-        dev_wps.append(wps)
-        dev_hands.append(hands)
-        takes.append(take)
+        produced += chunk
         finished_h = np.asarray(finished)  # the one sync per chunk
-        produced += take
 
-    tokens = np.concatenate(
-        [np.asarray(t)[:, :k] for t, k in zip(dev_tokens, takes)], axis=1
-    )
-    wps = np.concatenate(
-        [np.asarray(w)[:, :k] for w, k in zip(dev_wps, takes)], axis=1
-    )
-    hands = np.concatenate(
-        [np.asarray(h)[:, :k] for h, k in zip(dev_hands, takes)], axis=1
-    )
+    tokens, wps, hands = jax.device_get(acc)  # single bulk fetch
+    tokens = np.array(tokens[:, :max_new_tokens])  # device_get is read-only
+    wps = np.array(wps[:, :max_new_tokens])
+    hands = np.array(hands[:, :max_new_tokens])
     if tokens.shape[1] < max_new_tokens:
         pad = max_new_tokens - tokens.shape[1]
         tokens = np.pad(tokens, ((0, 0), (0, pad)))

@@ -73,7 +73,7 @@ def init_llama(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.float32):
         return (jax.random.normal(key, shape) * scale).astype(dtype)
 
     params = {
-        "embed": {"weight": norm(keys[0], (cfg.vocab_size, d))},
+        "embed": {"weight": norm(keys[0], (cfg.padded_vocab_size, d))},
         "layers": {
             "attn": {
                 "wq": norm(keys[1], (L, d, h * hd)),
@@ -92,7 +92,7 @@ def init_llama(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.float32):
         "final_norm": {"scale": jnp.ones((d,), dtype)},
     }
     if not cfg.tie_word_embeddings:
-        params["lm_head"] = {"weight": norm(keys[8], (d, cfg.vocab_size))}
+        params["lm_head"] = {"weight": norm(keys[8], (d, cfg.padded_vocab_size))}
     return params
 
 
@@ -204,6 +204,7 @@ def apply_llama(
     attn_impl: str = "auto",
     remat: bool = False,
     lora: Optional[dict] = None,
+    cache_scan_mode: str = "carry",
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the decoder stack.
 
@@ -245,6 +246,30 @@ def apply_llama(
     lora_scale = lora["scale"] if lora is not None else 0.0
 
     if kv_cache is not None:
+        if cache_scan_mode == "ys":
+            # Cache layers ride the scan's native xs/ys slicing: each
+            # iteration reads its (B,S,K,D) slice from xs and emits the
+            # updated slice as ys — no dynamic gather/scatter of the full
+            # (L,...) buffer inside the loop body. (The carry variant below
+            # can make XLA materialise full-cache copies per layer; see
+            # docs/PERF_NOTES.md decode-floor experiment.)
+            def scan_body(hidden, layer_in):
+                lp, lora_l, k_l, v_l = layer_in
+                hidden, (nk, nv) = _layer(
+                    hidden, lp, cfg, cos, sin, key_mask, q_offset, (k_l, v_l),
+                    cache_index, attn_impl, lora_l, lora_scale,
+                )
+                return hidden, (nk, nv)
+
+            if remat:
+                scan_body = jax.checkpoint(scan_body)
+            hidden, (ck, cv) = jax.lax.scan(
+                scan_body, inputs_embeds,
+                (layer_params, lora_adapters, kv_cache.k, kv_cache.v),
+            )
+            hidden = rms_norm(hidden, params["final_norm"]["scale"], cfg.rms_norm_eps)
+            return hidden, KVCache(k=ck, v=cv, index=kv_cache.index + t)
+
         # Cache lives in the scan *carry* and is updated in place with
         # dynamic_update_slice — XLA aliases the carry across iterations, so
         # decode touches one cache buffer instead of materialising a second
@@ -289,12 +314,20 @@ def apply_llama(
 
 def lm_logits(params, cfg: LlamaConfig, hidden: jnp.ndarray) -> jnp.ndarray:
     """Project to vocab with fp32 accumulation (no fp32 weight copy: the MXU
-    takes bf16 operands and accumulates fp32 via preferred_element_type)."""
+    takes bf16 operands and accumulates fp32 via preferred_element_type).
+
+    With a padded vocab (cfg.pad_vocab_multiple) the pad columns are masked
+    to -inf so sampling/argmax/softmax never see them — the padded table is
+    purely a sharding-layout choice, numerically invisible."""
     if cfg.tie_word_embeddings:
         w = params["embed"]["weight"].T
     else:
         w = params["lm_head"]["weight"]
-    return jax.lax.dot_general(
+    logits = jax.lax.dot_general(
         hidden, w, (((hidden.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    if logits.shape[-1] != cfg.vocab_size:
+        pad_mask = jnp.arange(logits.shape[-1]) >= cfg.vocab_size
+        logits = jnp.where(pad_mask, -jnp.inf, logits)
+    return logits

@@ -103,6 +103,11 @@ def attention(
 
 
 def _best_impl(q: jnp.ndarray, decode_length=None) -> str:
+    """Measured on v5e (tools/perf_prefill / perf_attn_dispatch, 2026-08):
+    the Pallas flash kernel only beats XLA attention past T~1024 at d=128
+    (T=2048: 289 vs 309 ms full 7B prefill; T=512: 82 vs 74); at the CLIP
+    tower's shapes (B=100, T=257, d=64, non-causal) XLA is 3x faster
+    (178 vs 532 ms). Dispatch accordingly; revisit after block-size tuning."""
     try:
         platform = jax.devices()[0].platform
     except Exception:  # pragma: no cover
@@ -112,6 +117,6 @@ def _best_impl(q: jnp.ndarray, decode_length=None) -> str:
         return "xla"
     if t == 1 and decode_length is not None and d % 8 == 0:
         return "decode"
-    if t >= 128 and d in (64, 128, 256):
+    if t >= 1024 and d in (128, 256):
         return "flash"
     return "xla"

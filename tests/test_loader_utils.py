@@ -56,6 +56,53 @@ def test_prefetch_loader_device_put():
         assert isinstance(b["x"], jax.Array)
 
 
+def test_prefetch_loader_per_host_slices():
+    """Pod semantics: hosts draw the same global stream and take disjoint
+    interleaved slices that reassemble to the full global batch."""
+    host_batches = []
+    for pi in range(4):
+        loader = PrefetchLoader(
+            TinyDataset(), _collate, batch_size=8, num_steps=3, seed=11,
+            process_index=pi, process_count=4,
+        )
+        host_batches.append(list(loader))
+    for step in range(3):
+        xs = [host_batches[pi][step]["x"] for pi in range(4)]
+        assert all(x.shape == (2, 4) for x in xs)  # 8 global / 4 hosts
+        # interleaved reassembly matches a single-host draw of the same seed
+        merged = np.empty((8, 4), np.float32)
+        for pi in range(4):
+            merged[pi::4] = xs[pi]
+        ref = np.random.default_rng(11)
+        for _ in range(step + 1):
+            idxs = ref.integers(0, 10, size=8)
+        np.testing.assert_array_equal(merged[:, 0], idxs.astype(np.float32))
+
+
+def test_prefetch_loader_global_batch_divisibility():
+    import pytest
+
+    with pytest.raises(ValueError, match="not divisible"):
+        PrefetchLoader(TinyDataset(), _collate, 6, 1, process_index=0, process_count=4)
+
+
+def test_prefetch_loader_make_global_array():
+    """Single-process path through make_array_from_process_local_data over
+    the 8-device mesh (the multi-host assembly API, degenerate case)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from handsonvlm_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(data=8, model=1)
+    sharding = NamedSharding(mesh, P("data"))
+    loader = PrefetchLoader(TinyDataset(), _collate, 8, 2, sharding=sharding, seed=0)
+    loader.process_count = 1  # jax.process_count() in tests
+    for b in loader:
+        assert isinstance(b["x"], jax.Array)
+        assert b["x"].shape == (8, 4)
+        assert b["x"].sharding.spec == P("data")
+
+
 def test_average_meters():
     m = AverageMeters()
     m.add_loss_value("loss", 1.0)
