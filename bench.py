@@ -132,7 +132,7 @@ def main():
     # chunked decode: K cached steps per dispatch (identical math to the
     # fused device loop, tests/test_sampler_chunked.py); amortizes host
     # dispatch without the fused while-loop's heavy 7B compile
-    chunk = int(os.environ.get("HANDSONVLM_BENCH_CHUNK", "16"))
+    chunk = int(os.environ.get("HANDSONVLM_BENCH_CHUNK", "32"))
 
     def run(seed):
         return generate_chunked(

@@ -45,6 +45,27 @@ class InferenceEngine:
         ids = tokenizer_image_token(conv.get_prompt(), self.tokenizer)
         return np.asarray(ids, np.int64)[None, :]
 
+    @staticmethod
+    def dedup_frames(images: np.ndarray):
+        """(B,T,...) -> (unique images (B,U,...), frame_map (T,)) when B==1
+        and frames repeat (the EK protocol tiles 10 unique frames x10,
+        epic_dataset.py:89-95); CLIP then runs U frames instead of T.
+        Returns (images, None) when nothing repeats or B > 1."""
+        if images.shape[0] != 1:
+            return images, None
+        seen: dict = {}
+        frame_map = np.empty((images.shape[1],), np.int32)
+        uniq = []
+        for i in range(images.shape[1]):
+            key = images[0, i].tobytes()
+            if key not in seen:
+                seen[key] = len(uniq)
+                uniq.append(i)
+            frame_map[i] = seen[key]
+        if len(uniq) == images.shape[1]:
+            return images, None
+        return images[:, uniq], frame_map
+
     def infer(self, question: str, images: np.ndarray, rng: jax.Array):
         """question + (1,100,3,224,224) frames -> (pred (1,2,4,2), valid,
         generated ids)."""
@@ -62,6 +83,7 @@ class InferenceEngine:
             ids = np.concatenate([pad, ids], axis=1)
             attn[:, : bucket - t] = False
 
+        images, frame_map = self.dedup_frames(np.asarray(images))
         out = generate_chunked(
             self.params,
             self.cfg,
@@ -72,6 +94,7 @@ class InferenceEngine:
             temperature=self.temperature,
             top_p=self.top_p,
             attn_mask=attn,
+            frame_map=frame_map,
         )
         pred, valid = clip_pred_hands(
             jax.device_get(out.pred_hands), jax.device_get(out.num_hands)

@@ -57,15 +57,16 @@ def main():
         frame_paths = [args.path]
     else:
         raise ValueError(f"unsupported input {args.path}")
-    idx = np.round(np.linspace(0, frames.shape[0] - 1, cfg.num_frames)).astype(int) \
-        if cfg.num_frames % frames.shape[0] else None
-    if idx is None:
-        reps = cfg.num_frames // frames.shape[0]
-        video = np.tile(frames[None], (reps, 1, 1, 1, 1)).reshape(
-            (cfg.num_frames,) + frames.shape[1:]
-        )[None]
+    # keep only the unique frames and a slot->frame map: CLIP encodes
+    # U frames instead of num_frames (bit-identical, see encode_video)
+    if cfg.num_frames % frames.shape[0]:
+        frame_map = np.round(
+            np.linspace(0, frames.shape[0] - 1, cfg.num_frames)
+        ).astype(np.int32)
     else:
-        video = frames[idx][None]
+        reps = cfg.num_frames // frames.shape[0]
+        frame_map = np.tile(np.arange(frames.shape[0], dtype=np.int32), reps)
+    video = frames[None]
 
     conv = conv_templates["v1"].copy()
     rng = jax.random.PRNGKey(0)
@@ -97,7 +98,7 @@ def main():
             params, cfg, ids, video.astype(np.float32), step_rng,
             max_new_tokens=args.max_new_tokens,
             temperature=args.temperature, top_p=args.top_p,
-            on_token=stream,
+            frame_map=frame_map, on_token=stream,
         )
         print()
         n = int(out.num_tokens[0])

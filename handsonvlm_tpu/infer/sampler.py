@@ -92,16 +92,20 @@ def prefill(
     *,
     attn_mask: Optional[jnp.ndarray] = None,
     attn_impl: str = "auto",
+    frame_map: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, KVCache, jnp.ndarray]:
     """Encode video, splice, run the prompt through the decoder once.
 
+    `frame_map` lets callers pass only unique frames (see encode_video).
     Returns (last_hidden (B,D), cache, cache_attn_mask (B, max_len))."""
     b, t = input_ids.shape
     embed_table = params["llama"]["embed"]["weight"]
     safe_ids = jnp.where(input_ids < 0, 0, input_ids)
     text_embeds = embed_table[safe_ids]
 
-    visual_tokens = encode_video(params, cfg, images, attn_impl=attn_impl)
+    visual_tokens = encode_video(
+        params, cfg, images, attn_impl=attn_impl, frame_map=frame_map
+    )
     sp = splice_visual_tokens(
         text_embeds, input_ids, visual_tokens.astype(text_embeds.dtype),
         attn_mask=attn_mask,
@@ -261,9 +265,10 @@ def generate(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_len", "attn_impl"))
-def _prefill_jit(params, cfg, input_ids, images, max_len, attn_impl, attn_mask=None):
+def _prefill_jit(params, cfg, input_ids, images, max_len, attn_impl, attn_mask=None,
+                 frame_map=None):
     return prefill(params, cfg, input_ids, images, max_len, attn_impl=attn_impl,
-                   attn_mask=attn_mask)
+                   attn_mask=attn_mask, frame_map=frame_map)
 
 
 @functools.partial(
@@ -404,12 +409,14 @@ def generate_chunked(
     eos_token_id: int = EOS_TOKEN_ID,
     attn_impl: str = "auto",
     attn_mask=None,
+    frame_map=None,
 ) -> SampleOutput:
     """Prefill + chunked decode. Same outputs as generate/generate_host.
 
     `attn_mask` (B, T) marks valid prompt positions; pad prompts on the
     LEFT so the final position is real content (rotary attention depends
-    only on relative positions, so left padding is logit-exact)."""
+    only on relative positions, so left padding is logit-exact).
+    `frame_map` lets callers pass only unique frames (see encode_video)."""
     import numpy as np
 
     input_ids = jnp.asarray(input_ids)
@@ -423,6 +430,7 @@ def generate_chunked(
     last_hidden, cache, cache_mask = _prefill_jit(
         params, cfg, input_ids, jnp.asarray(images), max_len, attn_impl,
         None if attn_mask is None else jnp.asarray(attn_mask),
+        None if frame_map is None else jnp.asarray(frame_map),
     )
     rng, r0 = jax.random.split(rng)
     token, waypoint = _first_token(
@@ -500,6 +508,7 @@ def generate_host(
     eos_token_id: int = EOS_TOKEN_ID,
     attn_impl: str = "auto",
     attn_mask=None,
+    frame_map=None,
     on_token=None,
 ) -> SampleOutput:
     """Host-driven generate: jitted prefill + jitted per-token step.
@@ -509,7 +518,8 @@ def generate_host(
     (token_id:int -> None) streams tokens as they are sampled (the
     reference's TextStreamer equivalent, llava/serve/cli.py). `attn_mask`
     marks valid prompt positions for LEFT-padded (bucketed) prompts, as in
-    generate_chunked.
+    generate_chunked; `frame_map` lets callers pass unique frames only
+    (see encode_video).
     """
     import numpy as np
 
@@ -522,6 +532,7 @@ def generate_host(
     last_hidden, cache, cache_mask = _prefill_jit(
         params, cfg, input_ids, jnp.asarray(images), max_len, attn_impl,
         None if attn_mask is None else jnp.asarray(attn_mask),
+        None if frame_map is None else jnp.asarray(frame_map),
     )
 
     rng, r0 = jax.random.split(rng)

@@ -62,17 +62,29 @@ def init_handsonvlm(rng: jax.Array, cfg: HandsOnVLMConfig):
 # ---------------------------------------------------------------------------
 
 
-def encode_video(params, cfg: HandsOnVLMConfig, images: jnp.ndarray, *, attn_impl="auto") -> jnp.ndarray:
+def encode_video(
+    params, cfg: HandsOnVLMConfig, images: jnp.ndarray, *,
+    attn_impl="auto", frame_map: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
     """(B, T, 3, H, W) frames -> (B, N_vis, D) visual tokens.
 
     fuse_input_mode='origin' (VisualToTokenHelper.encode_images +
     compress_tokens). The CLIP tower is frozen (stop_gradient inside).
+
+    `frame_map` (num_frames,) int: images holds only UNIQUE frames
+    (T = U < cfg.num_frames) and slot i of the video is frame
+    images[:, frame_map[i]]. The eval/chat protocol tiles 10 unique frames
+    x10 to fill the 100-slot interface (epic_dataset.py:89-95); encoding
+    the unique frames and gathering features is bit-identical to encoding
+    the duplicates and 10x cheaper in CLIP FLOPs.
     """
     b, t = images.shape[:2]
     flat = images.reshape((b * t,) + images.shape[2:])
     feats = apply_clip_vision(params["vision"], cfg.vision, flat, attn_impl=attn_impl)
     tokens = apply_projector(params["projector"], feats)
     tokens = tokens.reshape(b, t, tokens.shape[1], tokens.shape[2])
+    if frame_map is not None:
+        tokens = tokens[:, frame_map]  # (B, num_frames, S, D)
     return pool_video_tokens(tokens, cfg.video_arch)
 
 

@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 import jax
+import jax.numpy as jnp
 
 from handsonvlm_tpu.constants import IMAGE_TOKEN_INDEX
 from handsonvlm_tpu.core.config import tiny_config
@@ -34,4 +35,61 @@ def test_chunked_matches_host(chunk):
     assert int(chk.num_hands[0]) == int(host.num_hands[0])
     np.testing.assert_allclose(
         np.asarray(chk.pred_hands), np.asarray(host.pred_hands), atol=1e-5
+    )
+
+
+def test_frame_map_dedup_parity():
+    """Unique-frame encoding + frame_map gather is bit-identical to encoding
+    the tiled duplicates (the EK 10x10 tiling, epic_dataset.py:89-95)."""
+    from handsonvlm_tpu.eval.evaluator import InferenceEngine
+    from handsonvlm_tpu.models.handsonvlm import encode_video, init_handsonvlm
+
+    params = init_handsonvlm(jax.random.PRNGKey(0), CFG)
+    rng_np = np.random.default_rng(3)
+    n_unique = CFG.num_frames // 2
+    uniq = rng_np.normal(
+        size=(1, n_unique, 3, CFG.vision.image_size, CFG.vision.image_size)
+    ).astype(np.float32)
+    tiled = np.tile(uniq, (1, 2, 1, 1, 1))  # (1, num_frames, ...)
+
+    ded, fmap = InferenceEngine.dedup_frames(tiled)
+    assert ded.shape[1] == n_unique
+    np.testing.assert_array_equal(ded, uniq)
+    np.testing.assert_array_equal(fmap, np.tile(np.arange(n_unique), 2))
+
+    ref = encode_video(params, CFG, jnp.asarray(tiled), attn_impl="xla")
+    got = encode_video(
+        params, CFG, jnp.asarray(ded), attn_impl="xla", frame_map=jnp.asarray(fmap)
+    )
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+    # no-repeat input passes through untouched
+    same, fmap2 = InferenceEngine.dedup_frames(
+        rng_np.normal(size=(1, 4, 3, 8, 8)).astype(np.float32)
+    )
+    assert fmap2 is None and same.shape[1] == 4
+
+
+def test_generate_chunked_with_frame_map():
+    from handsonvlm_tpu.models.handsonvlm import init_handsonvlm
+
+    params = init_handsonvlm(jax.random.PRNGKey(0), CFG)
+    rng_np = np.random.default_rng(5)
+    ids = rng_np.integers(3, 1000, size=(1, 12))
+    ids[0, 1] = IMAGE_TOKEN_INDEX
+    n_unique = CFG.num_frames // 2
+    uniq = rng_np.normal(
+        size=(1, n_unique, 3, CFG.vision.image_size, CFG.vision.image_size)
+    ).astype(np.float32)
+    tiled = np.tile(uniq, (1, 2, 1, 1, 1))
+    fmap = np.tile(np.arange(n_unique), 2)
+
+    kwargs = dict(max_new_tokens=8, temperature=0.0, attn_impl="xla", chunk=4)
+    ref = generate_chunked(params, CFG, ids, tiled, jax.random.PRNGKey(1), **kwargs)
+    got = generate_chunked(
+        params, CFG, ids, uniq, jax.random.PRNGKey(1), frame_map=fmap, **kwargs
+    )
+    np.testing.assert_array_equal(np.asarray(ref.sequences), np.asarray(got.sequences))
+    np.testing.assert_allclose(
+        np.asarray(ref.pred_hands), np.asarray(got.pred_hands), atol=1e-6
     )
