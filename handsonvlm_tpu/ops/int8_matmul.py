@@ -1,11 +1,15 @@
-"""Int8 weight-only matmul: Pallas kernel dequantizing in VMEM.
+"""Int8 weight-only matmul (decoder projections, per-output-channel scales).
 
-Weight-only quantization for the decoder projections: weights stored int8
-with per-output-channel scales (absmax/127). XLA's `w8.astype(bf16) @ x`
-materializes the dequantized matrix in HBM (probe: ~1.0x); this kernel
-streams int8 blocks into VMEM and dequantizes on-chip, halving the HBM
-weight traffic that dominates batch-1 decode. Works for any row count
-(decode T=1 and prefill GEMMs alike).
+Two implementations, chosen by INT8_IMPL:
+
+- ``xla`` (default): `dot_general(x, w8.astype(bf16))` — current XLA fuses
+  the upcast into the matmul and streams int8 from HBM (measured 11.1
+  ms/step for the full 7B GEMV chain vs the 10 ms int8 streaming floor;
+  tools/perf_int8_paths.py). An earlier probe that showed ~1.0x predates
+  this finding — XLA does NOT materialize a bf16 copy.
+- ``pallas``: blockwise VMEM-dequant kernel. Kept for comparison/tests;
+  measured 18.8 ms/step in the same chain (per-call overhead + worse
+  stream/compute overlap than XLA's fused path).
 
 Accuracy: ~1e-2 relative per projection (opt-in mode; the bf16 path stays
 the default for metric-parity work).
@@ -124,6 +128,9 @@ def quantize_llama(llama_params: dict) -> dict:
     return out
 
 
+INT8_IMPL = "xla"  # "xla" | "pallas" — see module docstring for numbers
+
+
 def maybe_int8_matmul(x: jnp.ndarray, w) -> jnp.ndarray:
     """x @ w where w is either a dense array or an int8 {"w8","scale"} leaf.
 
@@ -131,6 +138,13 @@ def maybe_int8_matmul(x: jnp.ndarray, w) -> jnp.ndarray:
     jit), so both layouts compile to their own straight-line program.
     """
     if isinstance(w, dict):
+        if INT8_IMPL == "xla":
+            y = jax.lax.dot_general(
+                x, w["w8"].astype(x.dtype),
+                (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return (y * w["scale"]).astype(x.dtype)
         shape = x.shape
         y = int8_matmul(x.reshape(-1, shape[-1]), w["w8"], w["scale"])
         return y.reshape(shape[:-1] + (w["w8"].shape[1],)).astype(x.dtype)
