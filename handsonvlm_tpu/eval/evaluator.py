@@ -66,23 +66,33 @@ class InferenceEngine:
             return images, None
         return images[:, uniq], frame_map
 
+    def _pad_to_bucket(self, id_rows):
+        """LEFT-pad rows to a shared bucket: one jit compile per bucket, and
+        the final prompt position stays real content (rotary attention is
+        relative, so left padding is logit-exact; right padding would sample
+        the first token from a pad-query position)."""
+        m = self.pad_prompt_multiple
+        t_max = max(r.shape[0] for r in id_rows)
+        bucket = ((t_max + m - 1) // m) * m
+        b = len(id_rows)
+        ids = np.full((b, bucket), self.tokenizer.pad_token_id, np.int64)
+        attn = np.zeros((b, bucket), bool)
+        for i, r in enumerate(id_rows):
+            ids[i, bucket - r.shape[0]:] = r
+            attn[i, bucket - r.shape[0]:] = True
+        return ids, attn
+
     def infer(self, question: str, images: np.ndarray, rng: jax.Array):
         """question + (1,100,3,224,224) frames -> (pred (1,2,4,2), valid,
         generated ids)."""
-        ids = self.build_prompt_ids(question)
-        # LEFT-pad to a bucket: one jit compile per bucket, and the final
-        # prompt position stays real content (rotary attention is relative,
-        # so left padding is logit-exact; right padding would sample the
-        # first token from a pad-query position)
-        t = ids.shape[1]
-        m = self.pad_prompt_multiple
-        bucket = ((t + m - 1) // m) * m
-        attn = np.ones((1, bucket), bool)
-        if bucket != t:
-            pad = np.full((1, bucket - t), self.tokenizer.pad_token_id, np.int64)
-            ids = np.concatenate([pad, ids], axis=1)
-            attn[:, : bucket - t] = False
+        preds, valids, gen = self.infer_batch([question], images, rng)
+        return preds, valids, gen[0]
 
+    def infer_batch(self, questions, images: np.ndarray, rng: jax.Array):
+        """Batched decode for serving: B questions + (B,T,...) frames ->
+        (pred (B,2,4,2), valid (B,), [gen_ids per row])."""
+        rows = [self.build_prompt_ids(q)[0] for q in questions]
+        ids, attn = self._pad_to_bucket(rows)
         images, frame_map = self.dedup_frames(np.asarray(images))
         out = generate_chunked(
             self.params,
@@ -99,8 +109,9 @@ class InferenceEngine:
         pred, valid = clip_pred_hands(
             jax.device_get(out.pred_hands), jax.device_get(out.num_hands)
         )
-        n = int(out.num_tokens[0])
-        gen_ids = np.asarray(out.sequences[0, :n])
+        nums = jax.device_get(out.num_tokens)
+        seqs = jax.device_get(out.sequences)
+        gen_ids = [np.asarray(seqs[i, : int(nums[i])]) for i in range(len(rows))]
         return pred, valid, gen_ids
 
 

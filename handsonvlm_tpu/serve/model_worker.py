@@ -44,11 +44,15 @@ class ModelWorker:
         preset: str = "7b",
         model_name: Optional[str] = None,
         limit_concurrency: int = 2,
+        max_batch: int = 1,
+        batch_wait_ms: float = 30.0,
+        quantize: Optional[str] = None,
     ):
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.model_name = model_name or model_path.rstrip("/").split("/")[-1]
-        self.semaphore = threading.Semaphore(limit_concurrency)
+        # batching needs enough concurrent requests in flight to co-schedule
+        self.semaphore = threading.Semaphore(max(limit_concurrency, max_batch))
         self.queue_length = 0
         self.lock = threading.Lock()
         self._stop = threading.Event()
@@ -56,10 +60,26 @@ class ModelWorker:
         from handsonvlm_tpu.eval.evaluator import InferenceEngine
         from handsonvlm_tpu.infer.builder import load_pretrained_model
 
-        params, cfg, tokenizer = load_pretrained_model(model_path, preset)
+        params, cfg, tokenizer = load_pretrained_model(model_path, preset, quantize=quantize)
         self.engine = InferenceEngine(params=params, cfg=cfg, tokenizer=tokenizer)
         self.cfg = cfg
         self._seed = 0
+        self.batcher = None
+        if max_batch > 1:
+            from handsonvlm_tpu.serve.batcher import DynamicBatcher
+
+            # batched (B>1) decode at 7B bf16 OOMs a 16 GB chip: XLA inserts
+            # 3 GB of transposed-layout copies of the stacked qkv weights
+            # (docs/PERF_NOTES.md; tools/perf_layout_probe.py). int8 weights
+            # shrink the copies 4x and fit — use --int8 for batched serving.
+            if quantize is None and cfg.llama.hidden_size >= 4096:
+                print(
+                    "warning: batched decode with bf16 weights at 7B+ can "
+                    "OOM a 16 GB chip (XLA layout copies); prefer --int8"
+                )
+            self.batcher = DynamicBatcher(
+                self.engine, max_batch=max_batch, max_wait_ms=batch_wait_ms
+            )
 
         if controller_addr:
             self.register()
@@ -97,6 +117,8 @@ class ModelWorker:
 
     def stop(self):
         self._stop.set()
+        if self.batcher is not None:
+            self.batcher.stop()
 
     def _frames(self, payload: dict) -> np.ndarray:
         if payload.get("image_b64"):
@@ -127,9 +149,15 @@ class ModelWorker:
             frames = self._frames(payload)
             self._apply_options(payload)
             self._seed += 1
-            pred, valid, gen_ids = self.engine.infer(
-                payload["prompt"], frames[None], jax.random.PRNGKey(self._seed)
-            )
+            if self.batcher is not None:
+                pred_row, valid_row, gen_ids = self.batcher.submit(
+                    payload["prompt"], frames, self._seed
+                )
+                pred, valid = pred_row[None], np.asarray([valid_row])
+            else:
+                pred, valid, gen_ids = self.engine.infer(
+                    payload["prompt"], frames[None], jax.random.PRNGKey(self._seed)
+                )
             text = (
                 self.engine.tokenizer.decode(gen_ids)
                 if hasattr(self.engine.tokenizer, "decode")
@@ -283,11 +311,18 @@ def main():
     p.add_argument("--model-path", required=True)
     p.add_argument("--preset", default="7b")
     p.add_argument("--limit-model-concurrency", type=int, default=2)
+    p.add_argument("--max-batch", type=int, default=1,
+                   help=">1 enables dynamic request batching (serve/batcher.py)")
+    p.add_argument("--batch-wait-ms", type=float, default=30.0)
+    p.add_argument("--int8", action="store_true",
+                   help="int8 weight-only decoder (recommended with --max-batch)")
     args = p.parse_args()
     addr = args.worker_address or f"http://localhost:{args.port}"
     worker = ModelWorker(
         args.controller, addr, args.model_path, args.preset,
         limit_concurrency=args.limit_model_concurrency,
+        max_batch=args.max_batch, batch_wait_ms=args.batch_wait_ms,
+        quantize="int8" if args.int8 else None,
     )
     server = serve_worker(worker, args.host, args.port)
     print(f"worker {addr} serving {worker.model_name}")

@@ -194,7 +194,9 @@ def main():
     step_fn = make_train_step(cfg, tx)
     rng = jax.random.PRNGKey(0)
     save_every = args.save_every or steps_per_epoch
-    metrics_log = open(os.path.join(args.output_dir, "metrics.jsonl"), "a")
+    from handsonvlm_tpu.utils.metrics_writer import MetricsWriter
+
+    writer = MetricsWriter(args.output_dir)
 
     t0 = time.time()
     for batch in loader:
@@ -202,17 +204,15 @@ def main():
         step = int(state.step)
         if eval_dataset is not None and step % args.eval_every == 0:
             em = run_eval(state.params, step)
-            em["step"] = step
-            print(json.dumps(em))
-            metrics_log.write(json.dumps(em) + "\n")
+            print(json.dumps(dict(em, step=step)))
+            writer.log(em, step)
         if step % args.log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}
-            m.update(step=step, lr=float(sched(step)),
+            m.update(lr=float(sched(step)),
                      sec_per_step=(time.time() - t0) / max(args.log_every, 1))
             t0 = time.time()
-            print(json.dumps(m))
-            metrics_log.write(json.dumps(m) + "\n")
-            metrics_log.flush()
+            print(json.dumps(dict(m, step=step)))
+            writer.log(m, step)
         if step % save_every == 0 or step >= total_steps:
             save_train_state(ckpt_dir, state, step)
             save_adapters(state.params, args.output_dir)
@@ -221,6 +221,7 @@ def main():
             break
     save_train_state(ckpt_dir, state, int(state.step))
     save_adapters(state.params, args.output_dir)
+    writer.close()
     print("training complete")
 
 

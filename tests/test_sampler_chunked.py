@@ -93,3 +93,40 @@ def test_generate_chunked_with_frame_map():
     np.testing.assert_allclose(
         np.asarray(ref.pred_hands), np.asarray(got.pred_hands), atol=1e-6
     )
+
+
+def test_batched_decode_matches_single():
+    """B=2 greedy decode row-for-row equals two B=1 runs (batched serving)."""
+    from handsonvlm_tpu.models.handsonvlm import init_handsonvlm
+
+    params = init_handsonvlm(jax.random.PRNGKey(42), CFG)
+    rng_np = np.random.default_rng(1)
+    images = rng_np.normal(
+        size=(2, CFG.num_frames, 3, CFG.vision.image_size, CFG.vision.image_size)
+    ).astype(np.float32)
+    # two different prompts, left-padded to a common length
+    ids_a = rng_np.integers(3, 1000, size=(12,)); ids_a[1] = IMAGE_TOKEN_INDEX
+    ids_b = rng_np.integers(3, 1000, size=(9,)); ids_b[0] = IMAGE_TOKEN_INDEX
+    T = 12
+    batch_ids = np.zeros((2, T), np.int64)
+    attn = np.zeros((2, T), bool)
+    batch_ids[0], attn[0] = ids_a, True
+    batch_ids[1, T - 9:], attn[1, T - 9:] = ids_b, True
+
+    kwargs = dict(max_new_tokens=8, temperature=0.0, attn_impl="xla", chunk=4)
+    both = generate_chunked(
+        params, CFG, batch_ids, images, jax.random.PRNGKey(0), attn_mask=attn, **kwargs
+    )
+    for i, (ids_i, t_i) in enumerate(((ids_a, 12), (ids_b, 9))):
+        pad = np.zeros((1, T), np.int64)
+        a = np.zeros((1, T), bool)
+        pad[0, T - t_i:], a[0, T - t_i:] = ids_i, True
+        solo = generate_chunked(
+            params, CFG, pad, images[i:i + 1], jax.random.PRNGKey(0),
+            attn_mask=a, **kwargs
+        )
+        n = int(solo.num_tokens[0])
+        assert int(both.num_tokens[i]) == n
+        np.testing.assert_array_equal(
+            np.asarray(both.sequences[i, :n]), np.asarray(solo.sequences[0, :n])
+        )

@@ -154,3 +154,42 @@ def test_worker_generate_e2e():
         ctrl_server.shutdown()
         worker.stop()
         controller.stop()
+
+
+def test_worker_dynamic_batching():
+    """Concurrent requests co-schedule into fewer decode batches."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from handsonvlm_tpu.serve.model_worker import ModelWorker, serve_worker
+
+    worker = ModelWorker(
+        None, "http://127.0.0.1:0", "random:tiny", preset="tiny",
+        max_batch=4, batch_wait_ms=200.0,
+    )
+    w_server = serve_worker(worker, "127.0.0.1", 0)
+    w_port = w_server.server_address[1]
+    threading.Thread(target=w_server.serve_forever, daemon=True).start()
+    try:
+        # warm the compile with one request so the batch window isn't
+        # consumed by compilation
+        _post(f"http://127.0.0.1:{w_port}/worker_generate",
+              {"prompt": "warm", "max_new_tokens": 4}, timeout=300)
+        base = worker.batcher.batches_run
+
+        def ask(i):
+            return _post(
+                f"http://127.0.0.1:{w_port}/worker_generate",
+                {"prompt": f"request {i}", "max_new_tokens": 4}, timeout=300,
+            )
+
+        with ThreadPoolExecutor(4) as pool:
+            outs = list(pool.map(ask, range(4)))
+        for out in outs:
+            assert out["error_code"] == 0
+            assert np.asarray(out["pred_hands"]).shape == (1, 2, 4, 2)
+        ran = worker.batcher.batches_run - base
+        assert worker.batcher.requests_served >= 5
+        assert ran < 4, f"expected co-scheduling, got {ran} batches for 4 requests"
+    finally:
+        w_server.shutdown()
+        worker.stop()
