@@ -108,25 +108,49 @@ def main():
     # inside the same program so the bf16 decoder weights never persist.
     use_int8 = os.environ.get("HANDSONVLM_BENCH_INT8", "0") == "1"
 
-    def make(key):
-        params = init_handsonvlm(key, cfg)
-        if use_int8:
-            from handsonvlm_tpu.ops.int8_matmul import quantize_llama
+    if use_int8:
+        # piecewise init+quantize: the fused one-jit version peaks at
+        # bf16_tree + int8_tree (19 GB at 13B) and poisons the heap even
+        # when it "succeeds" — docs/PERF_NOTES.md 13B section
+        from handsonvlm_tpu.models.clip_vit import init_clip_vision
+        from handsonvlm_tpu.models.projector import init_projector
+        from handsonvlm_tpu.models.traj_cvae import init_traj_decoder
+        from handsonvlm_tpu.ops.int8_matmul import init_llama_int8
 
-            params["llama"] = quantize_llama(params["llama"])
-        return params
-
-    params = jax.jit(make)(jax.random.PRNGKey(0))
+        k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 4)
+        dtype = cfg.pdtype
+        params = {
+            "llama": init_llama_int8(k1, cfg.llama, dtype),
+            "vision": jax.jit(lambda k: init_clip_vision(k, cfg.vision, dtype))(k2),
+            "projector": jax.jit(
+                lambda k: init_projector(k, cfg.mm_hidden_size, cfg.llama.hidden_size, dtype)
+            )(k3),
+            "traj": jax.jit(
+                lambda k: init_traj_decoder(k, cfg.traj, cfg.llama.hidden_size // 2, dtype)
+            )(k4),
+        }
+    else:
+        params = jax.jit(lambda key: init_handsonvlm(key, cfg))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
+
+    jax.clear_caches()  # evict init executables from device memory
 
     tok = MockTokenizer()
     ids = np.asarray(_eval_prompt(tok, cfg))[None, :]
     ids_j = jnp.asarray(ids)
     rng = np.random.default_rng(0)
-    images = jnp.asarray(
-        rng.normal(size=(1, cfg.num_frames, 3, cfg.vision.image_size, cfg.vision.image_size)),
-        cfg.cdtype,
+    # EK eval protocol frames: 10 unique, tiled x10 to fill the 100-slot
+    # interface (epic_dataset.py:89-95). Our path passes unique frames + a
+    # frame map (math-identical, infer/sampler.py); the baseline below
+    # re-encodes all frames like the reference does.
+    n_unique = min(10, cfg.num_frames)
+    reps = cfg.num_frames // n_unique
+    uframes = rng.normal(
+        size=(1, n_unique, 3, cfg.vision.image_size, cfg.vision.image_size)
     )
+    images_unique = jnp.asarray(uframes, cfg.cdtype)
+    frame_map = np.tile(np.arange(n_unique, dtype=np.int32), reps)
+    images = jnp.asarray(np.tile(uframes, (1, reps, 1, 1, 1)), cfg.cdtype)
 
     # ---- cached decode (this framework) ----
     # chunked decode: K cached steps per dispatch (identical math to the
@@ -136,8 +160,9 @@ def main():
 
     def run(seed):
         return generate_chunked(
-            params, cfg, ids_j, images, jax.random.PRNGKey(seed),
+            params, cfg, ids_j, images_unique, jax.random.PRNGKey(seed),
             max_new_tokens=max_new, temperature=0.5, top_p=0.9, chunk=chunk,
+            frame_map=frame_map,
         )
 
     out = run(0)

@@ -56,13 +56,53 @@ def clip_preprocess(img, size: int = CLIP_SIZE) -> np.ndarray:
     return np.transpose(x, (2, 0, 1))
 
 
+# /dev/shm budget for the preprocessed-frame cache. The reference cached
+# unboundedly (hoi_forecast/dataset/video_utils.py:33-53 — fills shm on big
+# runs); here writes stop at the cap and the oldest files are evicted.
+CACHE_MAX_BYTES = int(os.environ.get("HANDSONVLM_FRAME_CACHE_BYTES", 2 * 1024**3))
+_cache_usage = {"bytes": -1, "checked": 0.0}
+
+
+def _cache_evict(cache_dir: str, incoming: int) -> bool:
+    """True if `incoming` bytes may be written; evicts oldest-mtime files
+    when over budget. Usage is recomputed at most every 5 s (many loader
+    threads hit this path)."""
+    import time
+
+    now = time.time()
+    if _cache_usage["bytes"] < 0 or now - _cache_usage["checked"] > 5.0:
+        total = 0
+        try:
+            with os.scandir(cache_dir) as it:
+                entries = [(e.stat().st_mtime, e.path, e.stat().st_size) for e in it]
+            total = sum(s for _, _, s in entries)
+            if total + incoming > CACHE_MAX_BYTES:
+                entries.sort()  # oldest first
+                for _, path, s in entries:
+                    if total + incoming <= CACHE_MAX_BYTES * 0.9:
+                        break
+                    try:
+                        os.unlink(path)
+                        total -= s
+                    except OSError:
+                        pass
+        except OSError:
+            return False
+        _cache_usage["bytes"] = total
+        _cache_usage["checked"] = now
+    if _cache_usage["bytes"] + incoming > CACHE_MAX_BYTES:
+        return False
+    _cache_usage["bytes"] += incoming
+    return True
+
+
 def load_image(
     image_file: str,
     image_aspect_ratio: str = "square",
     cache_dir: Optional[str] = "/dev/shm/handsonvlm_images",
     size: int = CLIP_SIZE,
 ) -> np.ndarray:
-    """JPEG path -> (3,size,size) with optional /dev/shm .npy cache."""
+    """JPEG path -> (3,size,size) with optional bounded /dev/shm .npy cache."""
     cache_file = None
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
@@ -79,7 +119,7 @@ def load_image(
     if image_aspect_ratio == "pad":
         img = expand2square(img, tuple(int(x * 255) for x in CLIP_MEAN))
     out = clip_preprocess(img, size)
-    if cache_file:
+    if cache_file and _cache_evict(os.path.dirname(cache_file), out.nbytes):
         try:
             np.save(cache_file, out)
         except Exception:

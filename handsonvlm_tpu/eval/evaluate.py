@@ -27,6 +27,8 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--int8", action="store_true",
                    help="int8 weight-only decoder (memory; slight accuracy cost)")
+    p.add_argument("--int4", action="store_true",
+                   help="int4 group-wise weight-only decoder (more memory, more error)")
     p.add_argument("--out", default=None, help="json results path")
     args = p.parse_args()
 
@@ -39,7 +41,7 @@ def main():
     from handsonvlm_tpu.infer.builder import load_pretrained_model
 
     params, cfg, tokenizer = load_pretrained_model(
-        args.model_path, args.preset, quantize="int8" if args.int8 else None
+        args.model_path, args.preset, quantize="int8" if args.int8 else ("int4" if args.int4 else None)
     )
 
     rephrase_rate = 1.0 if args.use_reason else 0.0

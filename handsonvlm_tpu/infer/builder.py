@@ -91,6 +91,10 @@ def load_pretrained_model(
             from handsonvlm_tpu.ops.int8_matmul import quantize_llama
 
             params["llama"] = quantize_llama(params["llama"])
+        elif quantize == "int4":
+            from handsonvlm_tpu.ops.int8_matmul import quantize_llama_int4
+
+            params["llama"] = quantize_llama_int4(params["llama"])
         elif quantize:
             raise ValueError(f"unknown quantize mode {quantize}")
         return params

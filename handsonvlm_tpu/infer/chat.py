@@ -27,6 +27,7 @@ def main():
     p.add_argument("--top-p", type=float, default=0.9)
     p.add_argument("--max-new-tokens", type=int, default=100)
     p.add_argument("--int8", action="store_true", help="int8 weight-only decoder")
+    p.add_argument("--int4", action="store_true", help="int4 (group-128) weight-only decoder")
     args = p.parse_args()
 
     import jax
@@ -41,7 +42,7 @@ def main():
     from handsonvlm_tpu.infer.viz import create_trajectory_video
 
     params, cfg, tokenizer = load_pretrained_model(
-        args.model_path, args.preset, quantize="int8" if args.int8 else None
+        args.model_path, args.preset, quantize="int8" if args.int8 else ("int4" if args.int4 else None)
     )
 
     # frames: 10 unique, repeated to fill the num_frames interface

@@ -18,6 +18,7 @@ the default for metric-parity work).
 from __future__ import annotations
 
 import functools
+import math
 from typing import Tuple
 
 import jax
@@ -99,24 +100,165 @@ def int8_matmul(x: jnp.ndarray, w8: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndar
     return out[:m, :n]
 
 
-def quantize_llama(llama_params: dict) -> dict:
+def quantize_stacked_int8(w: jnp.ndarray) -> dict:
+    """(L, din, dout) -> {"w8" int8, "scale" (L, dout) f32}, one shot."""
+    wf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=1)  # (L, dout)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    w8 = jnp.clip(jnp.round(wf / scale[:, None, :]), -127, 127).astype(jnp.int8)
+    return {"w8": w8, "scale": scale.astype(jnp.float32)}
+
+
+def quantize_llama(llama_params: dict, donate: bool = False) -> dict:
     """bf16/f32 llama tree -> int8 weight-only tree (decoder projections).
 
     Each projection leaf becomes {"w8": (L, din, dout) int8,
     "scale": (L, dout) f32}; embed/norms/lm_head stay as-is. Roughly halves
     decode HBM traffic and model memory (7B: 13.5 GB -> ~7.5 GB; 13B fits a
     single 16 GB chip).
+
+    `donate=True` (eager path, outside jit) quantizes one projection per
+    jitted call and donates the bf16 stack, so peak memory is
+    bf16_tree + one projection instead of bf16_tree + int8_tree — required
+    at 13B on a 16 GB chip.
     """
+    out = dict(llama_params)
+    layers = dict(llama_params["layers"])
+    quant = (
+        jax.jit(quantize_stacked_int8, donate_argnums=(0,))
+        if donate else quantize_stacked_int8
+    )
+    for grp in ("attn", "mlp"):
+        layers[grp] = {k: quant(v) for k, v in llama_params["layers"][grp].items()}
+    out["layers"] = {
+        **layers,
+        "attn_norm": llama_params["layers"]["attn_norm"],
+        "mlp_norm": llama_params["layers"]["mlp_norm"],
+    }
+    return out
+
+
+def init_llama_int8(rng: jax.Array, cfg, dtype=jnp.bfloat16) -> dict:
+    """Random-init an int8-quantized llama with NO bf16 weight transients:
+    int8 values are drawn directly per projection (random weights — the
+    bench/smoke path; real weights quantize host-side in convert/).
+
+    Why so careful: on the tunneled chip, large device buffers freed at the
+    Python level are not reliably returned to the allocator (measured:
+    freeing a 12.5 GiB tree leaves ~0 reusable headroom, docs/PERF_NOTES.md),
+    so even transient bf16 stacks permanently poison the heap at 13B."""
+    d, f = cfg.hidden_size, cfg.intermediate_size
+    h, k, hd, L = cfg.num_heads, cfg.kv_heads, cfg.head_dim_, cfg.num_layers
+    shapes = {
+        "attn": {"wq": (L, d, h * hd), "wk": (L, d, k * hd),
+                 "wv": (L, d, k * hd), "wo": (L, h * hd, d)},
+        "mlp": {"w_gate": (L, d, f), "w_up": (L, d, f), "w_down": (L, f, d)},
+    }
+
+    @functools.partial(jax.jit, static_argnames=("shape",))
+    def init_quant(key, shape):
+        # ~N(0, 0.02) after dequant: uniform int8 with a flat per-channel
+        # scale sized so dequantized std matches the bf16 init
+        w8 = jax.random.randint(key, shape, -127, 128, jnp.int32).astype(jnp.int8)
+        scale = jnp.full((shape[0], shape[2]), 0.02 / (73.3 / 127.0) / 127.0, jnp.float32)
+        return {"w8": w8, "scale": scale}
+
+    # small pieces (embed/norms/lm_head) via a tiny-config trick: init the
+    # full tree at L=0-size projections is awkward — just init them directly
+    keys = jax.random.split(rng, 10)
+
+    @jax.jit
+    def init_small(key):
+        ks = jax.random.split(key, 2)
+        p = {
+            "embed": {"weight": (jax.random.normal(ks[0], (cfg.padded_vocab_size, d)) * 0.02).astype(dtype)},
+            "final_norm": {"scale": jnp.ones((d,), dtype)},
+            "norms": {
+                "attn_norm": {"scale": jnp.ones((L, d), dtype)},
+                "mlp_norm": {"scale": jnp.ones((L, d), dtype)},
+            },
+        }
+        if not cfg.tie_word_embeddings:
+            p["lm_head"] = {"weight": (jax.random.normal(ks[1], (d, cfg.padded_vocab_size)) * 0.02).astype(dtype)}
+        return p
+
+    small = init_small(keys[0])
+    layers = {"attn": {}, "mlp": {},
+              "attn_norm": small["norms"]["attn_norm"],
+              "mlp_norm": small["norms"]["mlp_norm"]}
+    i = 1
+    for grp in ("attn", "mlp"):
+        for name, shape in shapes[grp].items():
+            layers[grp][name] = init_quant(keys[i], shape)
+            jax.block_until_ready(layers[grp][name]["w8"])  # cap the transient
+            i += 1
+    params = {"embed": small["embed"], "layers": layers,
+              "final_norm": small["final_norm"]}
+    if "lm_head" in small:
+        params["lm_head"] = small["lm_head"]
+    return params
+
+
+INT8_IMPL = "xla"  # "xla" | "pallas" — see module docstring for numbers
+
+INT4_GROUP = 128  # contraction-group size for int4 scales
+
+
+def quantize_int4(w: jnp.ndarray, group: int = INT4_GROUP) -> dict:
+    """Group-wise symmetric int4: w (d, n) -> {"w4" (G, g/2, n) int8 with
+    two nibbles per byte, "gscale" (G, n) f32}, d = G*g. Per-(group,
+    out-channel) scales keep the 4-bit error local (bitsandbytes-nf4-style
+    blocking, reference builder.py:22-31 4-bit load path).
+
+    Values are nibble-packed into int8 rather than stored as jnp.int4:
+    sub-byte (S4) arrays crash this backend's jit argument transfer
+    (RecursionError in device_put), and packed int8 is layout-friendly."""
+    d, n = w.shape
+    if d % group:
+        group = math.gcd(d, group) or d  # small test dims
+    wf = w.astype(jnp.float32).reshape(d // group, group, n)
+    absmax = jnp.max(jnp.abs(wf), axis=1)  # (G, n)
+    scale = jnp.where(absmax > 0, absmax / 7.0, 1.0)
+    q = jnp.clip(jnp.round(wf / scale[:, None, :]), -8, 7).astype(jnp.int8)
+    lo, hi = q[:, 0::2, :], q[:, 1::2, :]  # even/odd rows share a byte
+    packed = ((lo & 0x0F) | (hi << 4)).astype(jnp.int8)
+    return {"w4": packed, "gscale": scale.astype(jnp.float32)}
+
+
+def _unpack_int4(packed: jnp.ndarray, dtype) -> jnp.ndarray:
+    """(G, g/2, n) nibble-packed int8 -> (G, g, n) values in `dtype`.
+    Arithmetic shifts sign-extend each nibble."""
+    lo = ((packed << 4) >> 4).astype(dtype)  # low nibble, sign-extended
+    hi = (packed >> 4).astype(dtype)  # high nibble (arithmetic shift)
+    G, half, n = packed.shape
+    return jnp.stack([lo, hi], axis=2).reshape(G, half * 2, n)
+
+
+def int4_matmul(x: jnp.ndarray, w4: jnp.ndarray, gscale: jnp.ndarray) -> jnp.ndarray:
+    """x (..., d) @ dequant(nibble-packed w4 (G, g/2, n)) -> (..., n)."""
+    shape = x.shape
+    G, half, n = w4.shape
+    xg = x.reshape(-1, G, half * 2)
+    # per-group partial GEMMs (bgd,gdn->bgn batch matmul on the MXU),
+    # then the group scales weight the reduction
+    y = jnp.einsum(
+        "bgd,gdn->bgn", xg, _unpack_int4(w4, x.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    y = jnp.einsum("bgn,gn->bn", y, gscale)
+    return y.reshape(shape[:-1] + (n,)).astype(x.dtype)
+
+
+def quantize_llama_int4(llama_params: dict, group: int = INT4_GROUP) -> dict:
+    """bf16/f32 llama tree -> int4 weight-only (decoder projections).
+    7B: 13.5 GB -> ~3.6 GB of projection weights."""
     out = dict(llama_params)
     layers = dict(llama_params["layers"])
 
     def quant_stacked(w):  # (L, din, dout)
-        w8s, scales = [], []
-        for i in range(w.shape[0]):
-            w8, s = quantize_int8(w[i])
-            w8s.append(w8)
-            scales.append(s)
-        return {"w8": jnp.stack(w8s), "scale": jnp.stack(scales)}
+        qs = [quantize_int4(w[i], group) for i in range(w.shape[0])]
+        return {"w4": jnp.stack([q["w4"] for q in qs]),
+                "gscale": jnp.stack([q["gscale"] for q in qs])}
 
     for grp in ("attn", "mlp"):
         layers[grp] = {k: quant_stacked(v) for k, v in llama_params["layers"][grp].items()}
@@ -128,16 +270,16 @@ def quantize_llama(llama_params: dict) -> dict:
     return out
 
 
-INT8_IMPL = "xla"  # "xla" | "pallas" — see module docstring for numbers
-
-
 def maybe_int8_matmul(x: jnp.ndarray, w) -> jnp.ndarray:
-    """x @ w where w is either a dense array or an int8 {"w8","scale"} leaf.
+    """x @ w where w is a dense array, an int8 {"w8","scale"} leaf, or an
+    int4 {"w4","gscale"} leaf.
 
     The structure check is trace-time (pytree structure is static under
-    jit), so both layouts compile to their own straight-line program.
+    jit), so each layout compiles to its own straight-line program.
     """
     if isinstance(w, dict):
+        if "w4" in w:
+            return int4_matmul(x, w["w4"], w["gscale"])
         if INT8_IMPL == "xla":
             y = jax.lax.dot_general(
                 x, w["w8"].astype(x.dtype),

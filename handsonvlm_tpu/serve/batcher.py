@@ -70,9 +70,19 @@ class DynamicBatcher:
         import jax
 
         questions = [b[0] for b in batch]
-        frames = np.stack([b[1] for b in batch])  # (B, T, 3, H, W)
+        frames = [b[1] for b in batch]
         seed = batch[0][2]
         futures = [b[3] for b in batch]
+        # pad to the next power of two: bounded set of decode programs
+        # (1,2,4,8,...) instead of one compile per co-arrival count
+        n = len(batch)
+        target = 1
+        while target < n:
+            target *= 2
+        while len(questions) < target:
+            questions.append(questions[0])
+            frames.append(frames[0])
+        frames = np.stack(frames)  # (B_padded, T, 3, H, W)
         try:
             pred, valid, gen_ids = self.engine.infer_batch(
                 questions, frames, jax.random.PRNGKey(seed)

@@ -316,13 +316,15 @@ def main():
     p.add_argument("--batch-wait-ms", type=float, default=30.0)
     p.add_argument("--int8", action="store_true",
                    help="int8 weight-only decoder (recommended with --max-batch)")
+    p.add_argument("--int4", action="store_true",
+                   help="int4 group-wise weight-only decoder")
     args = p.parse_args()
     addr = args.worker_address or f"http://localhost:{args.port}"
     worker = ModelWorker(
         args.controller, addr, args.model_path, args.preset,
         limit_concurrency=args.limit_model_concurrency,
         max_batch=args.max_batch, batch_wait_ms=args.batch_wait_ms,
-        quantize="int8" if args.int8 else None,
+        quantize="int8" if args.int8 else ("int4" if args.int4 else None),
     )
     server = serve_worker(worker, args.host, args.port)
     print(f"worker {addr} serving {worker.model_name}")

@@ -147,3 +147,34 @@ def test_distributed_single_process():
     assert is_main_process()
     out = gather_metrics({"a": np.ones((2, 3)), "b": [np.zeros(4)]})
     assert out["a"].shape == (2, 3)
+
+
+def test_frame_cache_eviction(tmp_path, monkeypatch):
+    """The /dev/shm frame cache stays under budget by evicting oldest files."""
+    from PIL import Image
+
+    from handsonvlm_tpu.data import video_io
+
+    # three ~600KB entries under a ~1.2MB budget -> the oldest must go
+    monkeypatch.setattr(video_io, "CACHE_MAX_BYTES", 1_300_000)
+    video_io._cache_usage["bytes"] = -1
+    video_io._cache_usage["checked"] = 0.0
+    cache = str(tmp_path / "cache")
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"img{i}.jpg")
+        Image.fromarray(rng.integers(0, 255, (256, 456, 3), np.uint8)).save(p)
+        paths.append(p)
+    for i, p in enumerate(paths):
+        out = video_io.load_image(p, cache_dir=cache)
+        assert out.shape == (3, 224, 224)
+        video_io._cache_usage["checked"] = 0.0  # force re-scan next call
+        time.sleep(0.02)  # distinct mtimes for eviction order
+    files = list((tmp_path / "cache").iterdir())
+    total = sum(f.stat().st_size for f in files)
+    assert total <= 1_300_000
+    assert len(files) < 3  # something was evicted
+    # cached reload still works for a surviving entry
+    out2 = video_io.load_image(paths[-1], cache_dir=cache)
+    np.testing.assert_array_equal(out2, video_io.load_image(paths[-1], cache_dir=None))
