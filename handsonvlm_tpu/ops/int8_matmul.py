@@ -210,43 +210,86 @@ def quantize_int4(w: jnp.ndarray, group: int = INT4_GROUP) -> dict:
     out-channel) scales keep the 4-bit error local (bitsandbytes-nf4-style
     blocking, reference builder.py:22-31 4-bit load path).
 
-    Values are nibble-packed into int8 rather than stored as jnp.int4:
-    sub-byte (S4) arrays crash this backend's jit argument transfer
-    (RecursionError in device_put), and packed int8 is layout-friendly."""
+    Packing: within each group, row r pairs with row r + g/2 — the LOW
+    nibble holds the first half of the group's rows, the HIGH nibble the
+    second half, so unpacking is a contiguous concat (VMEM-friendly in the
+    Pallas kernel; an even/odd interleave would need a relayout). Values
+    are nibble-packed into int8 rather than stored as jnp.int4: sub-byte
+    (S4) arrays crash this backend's jit argument transfer."""
     d, n = w.shape
     if d % group:
         group = math.gcd(d, group) or d  # small test dims
+    if group % 2:
+        group *= 2  # need an even group to split halves
     wf = w.astype(jnp.float32).reshape(d // group, group, n)
     absmax = jnp.max(jnp.abs(wf), axis=1)  # (G, n)
     scale = jnp.where(absmax > 0, absmax / 7.0, 1.0)
     q = jnp.clip(jnp.round(wf / scale[:, None, :]), -8, 7).astype(jnp.int8)
-    lo, hi = q[:, 0::2, :], q[:, 1::2, :]  # even/odd rows share a byte
+    half = group // 2
+    lo, hi = q[:, :half, :], q[:, half:, :]  # first/second half share a byte
     packed = ((lo & 0x0F) | (hi << 4)).astype(jnp.int8)
     return {"w4": packed, "gscale": scale.astype(jnp.float32)}
 
 
 def _unpack_int4(packed: jnp.ndarray, dtype) -> jnp.ndarray:
-    """(G, g/2, n) nibble-packed int8 -> (G, g, n) values in `dtype`.
-    Arithmetic shifts sign-extend each nibble."""
+    """(G, g/2, n) nibble-packed int8 -> (G, g, n) values in `dtype`
+    (half-split packing; arithmetic shifts sign-extend each nibble)."""
     lo = ((packed << 4) >> 4).astype(dtype)  # low nibble, sign-extended
     hi = (packed >> 4).astype(dtype)  # high nibble (arithmetic shift)
-    G, half, n = packed.shape
-    return jnp.stack([lo, hi], axis=2).reshape(G, half * 2, n)
+    return jnp.concatenate([lo, hi], axis=1)
+
+
+def _gemv4_kernel(x_ref, w_ref, s_ref, o_ref):
+    # x (bm, d) bf16; w (G, g/2, bn) packed int8; s (G, bn) f32.
+    # Nibble unpack in i32: Mosaic cannot legalize shifts on i8 vectors
+    # (arith.shli fails to legalize), and i32 >> / & lower cleanly.
+    p32 = w_ref[:].astype(jnp.int32)
+    hi = (p32 >> 4).astype(jnp.bfloat16)  # arithmetic: sign-extends
+    r = p32 & 15
+    lo = (r - jnp.where(r >= 8, 16, 0)).astype(jnp.bfloat16)
+    w = jnp.concatenate([lo, hi], axis=1)  # (G, g, bn)
+    w = w * s_ref[:][:, None, :].astype(jnp.bfloat16)
+    G, g, bn = w.shape
+    w = w.reshape(G * g, bn)
+    y = jax.lax.dot_general(
+        x_ref[:], w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[:] = y
 
 
 def int4_matmul(x: jnp.ndarray, w4: jnp.ndarray, gscale: jnp.ndarray) -> jnp.ndarray:
-    """x (..., d) @ dequant(nibble-packed w4 (G, g/2, n)) -> (..., n)."""
+    """x (..., d) @ dequant(nibble-packed w4 (G, g/2, n)) -> (..., n).
+
+    Pallas kernel: int4 weights stream to VMEM packed and dequantize
+    on-chip. XLA formulations materialize the unpacked bf16 matrix in HBM
+    (measured 113-188 ms/step for the 7B chain vs ~5 ms int4 floor)."""
     shape = x.shape
     G, half, n = w4.shape
-    xg = x.reshape(-1, G, half * 2)
-    # per-group partial GEMMs (bgd,gdn->bgn batch matmul on the MXU),
-    # then the group scales weight the reduction
-    y = jnp.einsum(
-        "bgd,gdn->bgn", xg, _unpack_int4(w4, x.dtype),
-        preferred_element_type=jnp.float32,
-    )
-    y = jnp.einsum("bgn,gn->bn", y, gscale)
-    return y.reshape(shape[:-1] + (n,)).astype(x.dtype)
+    d = G * half * 2
+    x2 = x.reshape(-1, d)
+    m = x2.shape[0]
+    block_m, block_n = _pick_blocks(m, d // 2, n)  # packed bytes ~ d/2
+    m_pad = _cdiv(m, block_m) * block_m
+    n_pad = _cdiv(n, block_n) * block_n
+    if m_pad != m:
+        x2 = jnp.pad(x2, [(0, m_pad - m), (0, 0)])
+    if n_pad != n:
+        w4 = jnp.pad(w4, [(0, 0), (0, 0), (0, n_pad - n)])
+        gscale = jnp.pad(gscale, [(0, 0), (0, n_pad - n)])
+
+    out = pl.pallas_call(
+        _gemv4_kernel,
+        grid=(m_pad // block_m, n_pad // block_n),
+        in_specs=[
+            pl.BlockSpec((block_m, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, half, block_n), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), jnp.float32),
+        interpret=_interpret(),
+    )(x2.astype(jnp.bfloat16), w4, gscale)
+    return out[:m, :n].reshape(shape[:-1] + (n,)).astype(x.dtype)
 
 
 def quantize_llama_int4(llama_params: dict, group: int = INT4_GROUP) -> dict:
