@@ -47,24 +47,37 @@ class InferenceEngine:
 
     @staticmethod
     def dedup_frames(images: np.ndarray):
-        """(B,T,...) -> (unique images (B,U,...), frame_map (T,)) when B==1
-        and frames repeat (the EK protocol tiles 10 unique frames x10,
+        """(B,T,...) -> (unique images (B,U,...), frame_map) when frames
+        repeat (the EK protocol tiles 10 unique frames x10,
         epic_dataset.py:89-95); CLIP then runs U frames instead of T.
-        Returns (images, None) when nothing repeats or B > 1."""
-        if images.shape[0] != 1:
+
+        B==1 returns a shared (T,) map; B>1 dedups per row and returns a
+        (B,T) map (rows with fewer uniques repeat their first unique frame
+        to pad to the batch max U — the map never indexes the padding).
+        Returns (images, None) when nothing repeats."""
+        b, t = images.shape[:2]
+        maps = np.empty((b, t), np.int32)
+        uniqs = []
+        for r in range(b):
+            seen: dict = {}
+            uniq = []
+            for i in range(t):
+                key = images[r, i].tobytes()
+                if key not in seen:
+                    seen[key] = len(uniq)
+                    uniq.append(i)
+                maps[r, i] = seen[key]
+            uniqs.append(uniq)
+        u_max = max(len(u) for u in uniqs)
+        if u_max == t:
             return images, None
-        seen: dict = {}
-        frame_map = np.empty((images.shape[1],), np.int32)
-        uniq = []
-        for i in range(images.shape[1]):
-            key = images[0, i].tobytes()
-            if key not in seen:
-                seen[key] = len(uniq)
-                uniq.append(i)
-            frame_map[i] = seen[key]
-        if len(uniq) == images.shape[1]:
-            return images, None
-        return images[:, uniq], frame_map
+        out = np.empty((b, u_max) + images.shape[2:], images.dtype)
+        for r, uniq in enumerate(uniqs):
+            out[r, : len(uniq)] = images[r, uniq]
+            out[r, len(uniq):] = images[r, uniq[0]]
+        if b == 1:
+            return out, maps[0]
+        return out, maps
 
     def _pad_to_bucket(self, id_rows):
         """LEFT-pad rows to a shared bucket: one jit compile per bucket, and

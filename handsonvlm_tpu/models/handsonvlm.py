@@ -71,12 +71,13 @@ def encode_video(
     fuse_input_mode='origin' (VisualToTokenHelper.encode_images +
     compress_tokens). The CLIP tower is frozen (stop_gradient inside).
 
-    `frame_map` (num_frames,) int: images holds only UNIQUE frames
-    (T = U < cfg.num_frames) and slot i of the video is frame
-    images[:, frame_map[i]]. The eval/chat protocol tiles 10 unique frames
-    x10 to fill the 100-slot interface (epic_dataset.py:89-95); encoding
-    the unique frames and gathering features is bit-identical to encoding
-    the duplicates and 10x cheaper in CLIP FLOPs.
+    `frame_map` int (num_frames,) or (B, num_frames): images holds only
+    UNIQUE frames (T = U < cfg.num_frames) and slot i of the video is frame
+    images[:, frame_map[i]] (or images[b, frame_map[b, i]] with a per-row
+    map). The eval/chat protocol tiles 10 unique frames x10 to fill the
+    100-slot interface (epic_dataset.py:89-95); encoding the unique frames
+    and gathering features is bit-identical to encoding the duplicates and
+    10x cheaper in CLIP FLOPs.
     """
     b, t = images.shape[:2]
     flat = images.reshape((b * t,) + images.shape[2:])
@@ -84,7 +85,12 @@ def encode_video(
     tokens = apply_projector(params["projector"], feats)
     tokens = tokens.reshape(b, t, tokens.shape[1], tokens.shape[2])
     if frame_map is not None:
-        tokens = tokens[:, frame_map]  # (B, num_frames, S, D)
+        if frame_map.ndim == 2:  # per-row maps (batched serving)
+            tokens = jnp.take_along_axis(
+                tokens, frame_map[:, :, None, None], axis=1
+            )  # (B, num_frames, S, D)
+        else:
+            tokens = tokens[:, frame_map]  # (B, num_frames, S, D)
     return pool_video_tokens(tokens, cfg.video_arch)
 
 

@@ -47,6 +47,7 @@ class ModelWorker:
         max_batch: int = 1,
         batch_wait_ms: float = 30.0,
         quantize: Optional[str] = None,
+        defer_load: bool = False,
     ):
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
@@ -56,6 +57,17 @@ class ModelWorker:
         self.queue_length = 0
         self.lock = threading.Lock()
         self._stop = threading.Event()
+        self.ready = False
+        self._load_args = (model_path, preset, quantize, max_batch, batch_wait_ms)
+        if not defer_load:
+            self.load()
+
+    def load(self):
+        """Build the engine, then register. With ``defer_load=True`` the HTTP
+        server (and /healthz) can bind *before* this runs, so operators can
+        distinguish "loading" from "dead" during the minutes-long model load
+        (ROADMAP round-1 item; the reference worker binds only after load)."""
+        model_path, preset, quantize, max_batch, batch_wait_ms = self._load_args
 
         from handsonvlm_tpu.eval.evaluator import InferenceEngine
         from handsonvlm_tpu.infer.builder import load_pretrained_model
@@ -81,10 +93,17 @@ class ModelWorker:
                 self.engine, max_batch=max_batch, max_wait_ms=batch_wait_ms
             )
 
-        if controller_addr:
+        self.ready = True
+        if self.controller_addr:
             self.register()
             self._hb = threading.Thread(target=self._heartbeat_loop, daemon=True)
             self._hb.start()
+
+    def health(self) -> dict:
+        return {
+            "status": "ready" if self.ready else "loading",
+            "model_names": [self.model_name],
+        }
 
     def status(self) -> dict:
         return {
@@ -282,11 +301,21 @@ def serve_worker(worker: ModelWorker, host: str, port: int):
                 return
             self.wfile.write(b"0\r\n\r\n")
 
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, worker.health())
+            else:
+                self._json(404, {"error": "unknown path"})
+
         def do_POST(self):
             length = int(self.headers.get("Content-Length", 0))
             data = json.loads(self.rfile.read(length) or b"{}")
-            if self.path == "/worker_get_status":
+            if self.path == "/healthz":
+                self._json(200, worker.health())
+            elif self.path == "/worker_get_status":
                 self._json(200, worker.status())
+            elif self.path in ("/worker_generate", "/worker_generate_stream") and not worker.ready:
+                self._json(503, {"error": "model loading", "error_code": 2})
             elif self.path == "/worker_generate":
                 try:
                     self._json(200, worker.generate(data))
@@ -325,10 +354,15 @@ def main():
         limit_concurrency=args.limit_model_concurrency,
         max_batch=args.max_batch, batch_wait_ms=args.batch_wait_ms,
         quantize="int8" if args.int8 else ("int4" if args.int4 else None),
+        defer_load=True,
     )
+    # bind + serve /healthz immediately; generate endpoints 503 until loaded
     server = serve_worker(worker, args.host, args.port)
+    print(f"worker {addr} bound (loading {worker.model_name})")
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    worker.load()
     print(f"worker {addr} serving {worker.model_name}")
-    server.serve_forever()
+    threading.Event().wait()
 
 
 if __name__ == "__main__":

@@ -70,6 +70,36 @@ def test_frame_map_dedup_parity():
     assert fmap2 is None and same.shape[1] == 4
 
 
+def test_frame_map_dedup_batched():
+    """Per-row dedup at B>1: rows with different unique counts pad to the
+    batch max U and gather back bit-identically (batched-serving CLIP
+    saving, ROADMAP round-1 item)."""
+    from handsonvlm_tpu.eval.evaluator import InferenceEngine
+    from handsonvlm_tpu.models.handsonvlm import encode_video, init_handsonvlm
+
+    params = init_handsonvlm(jax.random.PRNGKey(0), CFG)
+    rng_np = np.random.default_rng(9)
+    t = CFG.num_frames
+    shape = (3, CFG.vision.image_size, CFG.vision.image_size)
+    # row 0: t/2 uniques tiled x2; row 1: t/4 uniques tiled x4
+    u0 = rng_np.normal(size=(t // 2,) + shape).astype(np.float32)
+    u1 = rng_np.normal(size=(t // 4,) + shape).astype(np.float32)
+    batch = np.stack([np.tile(u0, (2, 1, 1, 1)), np.tile(u1, (4, 1, 1, 1))])
+
+    ded, fmap = InferenceEngine.dedup_frames(batch)
+    assert ded.shape[1] == t // 2 and fmap.shape == (2, t)
+    # padding rows repeat the first unique frame
+    np.testing.assert_array_equal(ded[1, t // 4], u1[0])
+
+    ref = encode_video(params, CFG, jnp.asarray(batch), attn_impl="xla")
+    got = encode_video(
+        params, CFG, jnp.asarray(ded), attn_impl="xla", frame_map=jnp.asarray(fmap)
+    )
+    # same math; XLA fuses the (B*U) CLIP batch differently from (B*T),
+    # so equality is float-level rather than bitwise here
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-5)
+
+
 def test_generate_chunked_with_frame_map():
     from handsonvlm_tpu.models.handsonvlm import init_handsonvlm
 

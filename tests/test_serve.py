@@ -156,6 +156,38 @@ def test_worker_generate_e2e():
         controller.stop()
 
 
+def test_worker_healthz_early_bind():
+    """The worker binds + answers /healthz before the model loads; generate
+    endpoints 503 while loading and work after load()."""
+    from handsonvlm_tpu.serve.model_worker import ModelWorker, serve_worker
+
+    worker = ModelWorker(
+        None, "http://127.0.0.1:0", "random:tiny", preset="tiny",
+        defer_load=True,
+    )
+    w_server = serve_worker(worker, "127.0.0.1", 0)
+    w_port = w_server.server_address[1]
+    threading.Thread(target=w_server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{w_port}"
+    try:
+        with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
+            assert json.loads(r.read())["status"] == "loading"
+        try:
+            _post(base + "/worker_generate", {"prompt": "x"}, timeout=10)
+            assert False, "expected 503 while loading"
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+        worker.load()
+        with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
+            assert json.loads(r.read())["status"] == "ready"
+        out = _post(base + "/worker_generate",
+                    {"prompt": "Where?", "max_new_tokens": 2}, timeout=300)
+        assert out["error_code"] == 0
+    finally:
+        w_server.shutdown()
+        worker.stop()
+
+
 def test_worker_dynamic_batching():
     """Concurrent requests co-schedule into fewer decode batches."""
     from concurrent.futures import ThreadPoolExecutor
