@@ -96,18 +96,24 @@ def attention(
     if impl == "flash":
         from handsonvlm_tpu.ops.flash_attention import flash_attention
 
+        # block (256, 512) measured 9x faster than (128, 128) at T=2048
+        # d=128 (tools/perf_attn_shapes.py, 2026-08-16); smaller T pads up
+        t = q.shape[1]
+        block_q, block_k = (256, 512) if t >= 2048 else (128, 128)
         return flash_attention(
-            q, k, v, key_mask=key_mask, causal=causal, q_offset=q_offset
+            q, k, v, key_mask=key_mask, causal=causal, q_offset=q_offset,
+            block_q=block_q, block_k=block_k,
         )
     return attention_xla(q, k, v, key_mask=key_mask, causal=causal, q_offset=q_offset)
 
 
 def _best_impl(q: jnp.ndarray, decode_length=None) -> str:
-    """Measured on v5e (tools/perf_prefill / perf_attn_dispatch, 2026-08):
-    the Pallas flash kernel only beats XLA attention past T~1024 at d=128
-    (T=2048: 289 vs 309 ms full 7B prefill; T=512: 82 vs 74); at the CLIP
-    tower's shapes (B=100, T=257, d=64, non-causal) XLA is 3x faster
-    (178 vs 532 ms). Dispatch accordingly; revisit after block-size tuning."""
+    """Measured on v5e (tools/perf_attn_shapes.py, 2026-08-16, after the
+    bf16-operand kernel fix — the old kernel ran f32 MXU passes): per-layer
+    attention at llama shapes (B=1, H=32, D=128): T=2048 flash(256,512)
+    0.35 ms vs XLA 4.13; T=1024 0.20 vs 0.14 (wash); T=512 wash. CLIP
+    shapes (B=100, T=257, D=64, non-causal): XLA 1.8 ms vs flash 7.9 —
+    XLA wins below T~2048 and for the vision tower."""
     try:
         platform = jax.devices()[0].platform
     except Exception:  # pragma: no cover
@@ -117,6 +123,6 @@ def _best_impl(q: jnp.ndarray, decode_length=None) -> str:
         return "xla"
     if t == 1 and decode_length is not None and d % 8 == 0:
         return "decode"
-    if t >= 1024 and d in (128, 256):
+    if t >= 2048 and d in (128, 256):
         return "flash"
     return "xla"

@@ -93,9 +93,12 @@ def _fwd_kernel(
 
     @pl.when(run_block)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
+        # dots take the INPUT dtype (bf16 on TPU) with f32 accumulation:
+        # f32xf32 MXU passes are ~8x slower and were why this kernel lost
+        # to XLA below T~1024 (docs/PERF_NOTES.md). Softmax math stays f32.
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -192,10 +195,10 @@ def _bwd_dq_kernel(
 
     @pl.when(run_block)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
         lse = lse_ref[0, 0, 0][:, None]
         delta = delta_ref[0, 0, 0][:, None]
 
@@ -236,10 +239,10 @@ def _bwd_dkv_kernel(
 
     @pl.when(run_block)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
         lse = lse_ref[0, 0, 0][:, None]
         delta = delta_ref[0, 0, 0][:, None]
 
@@ -250,14 +253,14 @@ def _bwd_dkv_kernel(
             q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
             k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
             s = jnp.where(q_pos + qoff >= k_pos, s, NEG_INF)
-        p = jnp.exp(s - lse)  # (bq, bk)
+        p = jnp.exp(s - lse)  # (bq, bk) f32
         dv_acc[:] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         ds = p * (dp - delta) * scale  # (bq, bk)
         dk_acc[:] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
     @pl.when(qi == nq - 1)
