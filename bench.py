@@ -106,21 +106,24 @@ def main():
     # jitted init: one program, bf16 buffers materialized directly (unjitted
     # init leaves fp32 temporaries that fragment HBM at 7B). Int8 quantizes
     # inside the same program so the bf16 decoder weights never persist.
-    use_int8 = os.environ.get("HANDSONVLM_BENCH_INT8", "0") == "1"
+    quant = os.environ.get("HANDSONVLM_BENCH_QUANT", "")
+    use_int8 = os.environ.get("HANDSONVLM_BENCH_INT8", "0") == "1" or quant == "int8"
+    use_int4 = quant == "int4"
 
-    if use_int8:
+    if use_int8 or use_int4:
         # piecewise init+quantize: the fused one-jit version peaks at
         # bf16_tree + int8_tree (19 GB at 13B) and poisons the heap even
         # when it "succeeds" — docs/PERF_NOTES.md 13B section
         from handsonvlm_tpu.models.clip_vit import init_clip_vision
         from handsonvlm_tpu.models.projector import init_projector
         from handsonvlm_tpu.models.traj_cvae import init_traj_decoder
-        from handsonvlm_tpu.ops.int8_matmul import init_llama_int8
+        from handsonvlm_tpu.ops.int8_matmul import init_llama_int4, init_llama_int8
 
+        init_quant_llama = init_llama_int4 if use_int4 else init_llama_int8
         k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 4)
         dtype = cfg.pdtype
         params = {
-            "llama": init_llama_int8(k1, cfg.llama, dtype),
+            "llama": init_quant_llama(k1, cfg.llama, dtype),
             "vision": jax.jit(lambda k: init_clip_vision(k, cfg.vision, dtype))(k2),
             "projector": jax.jit(
                 lambda k: init_projector(k, cfg.mm_hidden_size, cfg.llama.hidden_size, dtype)
@@ -205,7 +208,8 @@ def main():
     baseline_tps = n_base / (t1 - t0)
 
     result = {
-        "metric": f"decode_tokens_per_sec_{preset}" + ("_int8" if use_int8 else ""),
+        "metric": f"decode_tokens_per_sec_{preset}"
+        + ("_int8" if use_int8 else "_int4" if use_int4 else ""),
         "value": round(cached_tps, 3),
         "unit": "tokens/s/chip",
         "vs_baseline": round(cached_tps / baseline_tps, 3),

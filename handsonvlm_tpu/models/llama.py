@@ -142,10 +142,18 @@ def _layer(
     attn_impl: str,
     lora_layer=None,
     lora_scale: float = 0.0,
+    int4_stacked=None,
+    layer_idx=None,
 ):
-    """One decoder block. Returns (hidden, (new_k_slice, new_v_slice))."""
+    """One decoder block. Returns (hidden, (new_k_slice, new_v_slice)).
+
+    With `int4_stacked` (the FULL stacked int4 projection tree, a scan
+    constant) projections run through int4_matmul_stacked selecting
+    `layer_idx` via scalar prefetch — scan-slicing quantized weights would
+    make every pallas operand a materialized copy (3x HBM traffic,
+    docs/PERF_NOTES.md)."""
     from handsonvlm_tpu.models.lora import lora_delta
-    from handsonvlm_tpu.ops.int8_matmul import maybe_int8_matmul
+    from handsonvlm_tpu.ops.int8_matmul import int4_matmul_stacked, maybe_int8_matmul
 
     b, t, d = hidden.shape
     h, k, hd = cfg.num_heads, cfg.kv_heads, cfg.head_dim_
@@ -154,10 +162,25 @@ def _layer(
         out = maybe_int8_matmul(x, lp[grp][name])
         return out + lora_delta(lora_layer, name, x, lora_scale)
 
+    def iproj(x, name):
+        leaf = int4_stacked[name]
+        return int4_matmul_stacked(x, leaf["w4"], leaf["gscale"], layer_idx)
+
     x = rms_norm(hidden, lp["attn_norm"]["scale"], cfg.rms_norm_eps)
-    q = proj(x, "wq").reshape(b, t, h, hd)
-    kx = proj(x, "wk").reshape(b, t, k, hd)
-    vx = proj(x, "wv").reshape(b, t, k, hd)
+    if int4_stacked is not None:
+        qkv = iproj(x, "wqkv")
+        q, kx, vx = (
+            qkv[..., : h * hd] + lora_delta(lora_layer, "wq", x, lora_scale),
+            qkv[..., h * hd: (h + k) * hd] + lora_delta(lora_layer, "wk", x, lora_scale),
+            qkv[..., (h + k) * hd:] + lora_delta(lora_layer, "wv", x, lora_scale),
+        )
+        q = q.reshape(b, t, h, hd)
+        kx = kx.reshape(b, t, k, hd)
+        vx = vx.reshape(b, t, k, hd)
+    else:
+        q = proj(x, "wq").reshape(b, t, h, hd)
+        kx = proj(x, "wk").reshape(b, t, k, hd)
+        vx = proj(x, "wv").reshape(b, t, k, hd)
     q = apply_rope(q, cos, sin)
     kx = apply_rope(kx, cos, sin)
 
@@ -178,7 +201,19 @@ def _layer(
         q, keys_, vals_, key_mask=key_mask, causal=True, q_offset=q_offset,
         impl=attn_impl, decode_length=decode_length,
     )
-    hidden = hidden + proj(out.reshape(b, t, h * hd), "wo")
+    out = out.reshape(b, t, h * hd)
+    if int4_stacked is not None:
+        hidden = hidden + iproj(out, "wo") + lora_delta(lora_layer, "wo", out, lora_scale)
+        x = rms_norm(hidden, lp["mlp_norm"]["scale"], cfg.rms_norm_eps)
+        gu = iproj(x, "wgu")
+        f = cfg.intermediate_size
+        gate = jax.nn.silu(gu[..., :f] + lora_delta(lora_layer, "w_gate", x, lora_scale))
+        up = gu[..., f:] + lora_delta(lora_layer, "w_up", x, lora_scale)
+        gu = gate * up
+        hidden = hidden + iproj(gu, "w_down") + lora_delta(lora_layer, "w_down", gu, lora_scale)
+        return hidden, new_kv
+
+    hidden = hidden + proj(out, "wo")
 
     x = rms_norm(hidden, lp["mlp_norm"]["scale"], cfg.rms_norm_eps)
     gate = jax.nn.silu(proj(x, "w_gate", "mlp"))
@@ -242,8 +277,15 @@ def apply_llama(
     cos, sin = rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta)
 
     layer_params = params["layers"]
+    # int4 projections stay OUT of the scan xs: the full stacked buffers are
+    # scan constants read by scalar-prefetch layer indexing (scan-slicing
+    # them would copy every layer's weights before each pallas call)
+    int4_stacked = layer_params.get("int4")
+    if int4_stacked is not None:
+        layer_params = {k: v for k, v in layer_params.items() if k != "int4"}
     lora_adapters = lora["adapters"] if lora is not None else None
     lora_scale = lora["scale"] if lora is not None else 0.0
+    layer_ids = jnp.arange(cfg.num_layers)
 
     if kv_cache is not None:
         if cache_scan_mode == "ys":
@@ -254,10 +296,11 @@ def apply_llama(
             # can make XLA materialise full-cache copies per layer; see
             # docs/PERF_NOTES.md decode-floor experiment.)
             def scan_body(hidden, layer_in):
-                lp, lora_l, k_l, v_l = layer_in
+                lp, lora_l, layer_idx, k_l, v_l = layer_in
                 hidden, (nk, nv) = _layer(
                     hidden, lp, cfg, cos, sin, key_mask, q_offset, (k_l, v_l),
                     cache_index, attn_impl, lora_l, lora_scale,
+                    int4_stacked, layer_idx,
                 )
                 return hidden, (nk, nv)
 
@@ -265,7 +308,7 @@ def apply_llama(
                 scan_body = jax.checkpoint(scan_body)
             hidden, (ck, cv) = jax.lax.scan(
                 scan_body, inputs_embeds,
-                (layer_params, lora_adapters, kv_cache.k, kv_cache.v),
+                (layer_params, lora_adapters, layer_ids, kv_cache.k, kv_cache.v),
             )
             hidden = rms_norm(hidden, params["final_norm"]["scale"], cfg.rms_norm_eps)
             return hidden, KVCache(k=ck, v=cv, index=kv_cache.index + t)
@@ -282,6 +325,7 @@ def apply_llama(
             hidden, (nk, nv) = _layer(
                 hidden, lp, cfg, cos, sin, key_mask, q_offset, (k_l, v_l),
                 cache_index, attn_impl, lora_l, lora_scale,
+                int4_stacked, layer_idx,
             )
             ck = jax.lax.dynamic_update_index_in_dim(ck, nk, layer_idx, 0)
             cv = jax.lax.dynamic_update_index_in_dim(cv, nv, layer_idx, 0)
@@ -289,25 +333,27 @@ def apply_llama(
 
         if remat:
             scan_body = jax.checkpoint(scan_body)
-        layer_idx = jnp.arange(cfg.num_layers)
         (hidden, ck, cv), _ = jax.lax.scan(
             scan_body, (inputs_embeds, kv_cache.k, kv_cache.v),
-            (layer_params, lora_adapters, layer_idx),
+            (layer_params, lora_adapters, layer_ids),
         )
         hidden = rms_norm(hidden, params["final_norm"]["scale"], cfg.rms_norm_eps)
         return hidden, KVCache(k=ck, v=cv, index=kv_cache.index + t)
 
     def scan_body(hidden, layer_in):
-        lp, lora_l = layer_in
+        lp, lora_l, layer_idx = layer_in
         hidden, _ = _layer(
             hidden, lp, cfg, cos, sin, key_mask, q_offset, None,
             cache_index, attn_impl, lora_l, lora_scale,
+            int4_stacked, layer_idx,
         )
         return hidden, None
 
     if remat:
         scan_body = jax.checkpoint(scan_body)
-    hidden, _ = jax.lax.scan(scan_body, inputs_embeds, (layer_params, lora_adapters))
+    hidden, _ = jax.lax.scan(
+        scan_body, inputs_embeds, (layer_params, lora_adapters, layer_ids)
+    )
     hidden = rms_norm(hidden, params["final_norm"]["scale"], cfg.rms_norm_eps)
     return hidden, None
 

@@ -199,6 +199,61 @@ def init_llama_int8(rng: jax.Array, cfg, dtype=jnp.bfloat16) -> dict:
     return params
 
 
+def init_llama_int4(rng: jax.Array, cfg, dtype=jnp.bfloat16, group: int = None) -> dict:
+    """Random-init an int4-quantized llama in the FUSED stacked layout with
+    NO bf16 weight transients (see init_llama_int8 for why that matters on
+    this backend). Bench/smoke path; real weights quantize in convert/."""
+    group = group or INT4_GROUP
+    d, f = cfg.hidden_size, cfg.intermediate_size
+    h, k, hd, L = cfg.num_heads, cfg.kv_heads, cfg.head_dim_, cfg.num_layers
+    shapes = {
+        "wqkv": (d, (h + 2 * k) * hd),
+        "wo": (h * hd, d),
+        "wgu": (d, 2 * f),
+        "w_down": (f, d),
+    }
+    keys = jax.random.split(rng, len(shapes) + 1)
+
+    @functools.partial(jax.jit, static_argnames=("din", "dout"))
+    def draw(key, din, dout):
+        g = group if din % group == 0 else math.gcd(din, group)
+        G = din // g
+        w4 = jax.random.randint(
+            key, (L, G, g // 2, dout), -128, 128, jnp.int32).astype(jnp.int8)
+        # flat scale sized so dequantized std ~ 0.02 (uniform int4 std ~4.6)
+        gs = jnp.full((L, G, dout), 0.02 / 4.6, jnp.float32)
+        return {"w4": w4, "gscale": gs}
+
+    int4 = {}
+    for key, (name, (din, dout)) in zip(keys[1:], shapes.items()):
+        int4[name] = draw(key, din, dout)
+        jax.block_until_ready(int4[name]["w4"])
+
+    @jax.jit
+    def init_small(key):
+        ks = jax.random.split(key, 2)
+        p = {
+            "embed": {"weight": (jax.random.normal(ks[0], (cfg.padded_vocab_size, d)) * 0.02).astype(dtype)},
+            "final_norm": {"scale": jnp.ones((d,), dtype)},
+            "attn_norm": {"scale": jnp.ones((L, d), dtype)},
+            "mlp_norm": {"scale": jnp.ones((L, d), dtype)},
+        }
+        if not cfg.tie_word_embeddings:
+            p["lm_head"] = {"weight": (jax.random.normal(ks[1], (d, cfg.padded_vocab_size)) * 0.02).astype(dtype)}
+        return p
+
+    small = init_small(keys[0])
+    params = {
+        "embed": small["embed"],
+        "layers": {"int4": int4, "attn_norm": small["attn_norm"],
+                   "mlp_norm": small["mlp_norm"]},
+        "final_norm": small["final_norm"],
+    }
+    if "lm_head" in small:
+        params["lm_head"] = small["lm_head"]
+    return params
+
+
 INT8_IMPL = "xla"  # "xla" | "pallas" — see module docstring for numbers
 
 INT4_GROUP = 128  # contraction-group size for int4 scales
@@ -210,12 +265,18 @@ def quantize_int4(w: jnp.ndarray, group: int = INT4_GROUP) -> dict:
     out-channel) scales keep the 4-bit error local (bitsandbytes-nf4-style
     blocking, reference builder.py:22-31 4-bit load path).
 
-    Packing: within each group, row r pairs with row r + g/2 — the LOW
-    nibble holds the first half of the group's rows, the HIGH nibble the
-    second half, so unpacking is a contiguous concat (VMEM-friendly in the
-    Pallas kernel; an even/odd interleave would need a relayout). Values
-    are nibble-packed into int8 rather than stored as jnp.int4: sub-byte
-    (S4) arrays crash this backend's jit argument transfer."""
+    Packing: within each group, row r pairs with row r + g/2; the HIGH
+    nibble holds the second half's value two's-complement, the LOW nibble
+    holds the first half's value BIASED by +8, i.e.
+
+        byte = ((lo + 8) & 0xF) | (hi << 4)  =  16*hi + (lo + 8)
+
+    so the GEMV kernel needs only ONE nibble extraction: with
+    xc = x_hi - 16*x_lo,   x_lo.lo + x_hi.hi = x_lo.byte + xc.hi - 8*sum(x_lo)
+    — the low nibble never gets unpacked (it rides the byte dot), and the
+    -8*sum(x_lo) excess is one small rank-G correction dot. Values are
+    nibble-packed into int8 rather than stored as jnp.int4: sub-byte (S4)
+    arrays crash this backend's jit argument transfer."""
     d, n = w.shape
     if d % group:
         group = math.gcd(d, group) or d  # small test dims
@@ -227,34 +288,58 @@ def quantize_int4(w: jnp.ndarray, group: int = INT4_GROUP) -> dict:
     q = jnp.clip(jnp.round(wf / scale[:, None, :]), -8, 7).astype(jnp.int8)
     half = group // 2
     lo, hi = q[:, :half, :], q[:, half:, :]  # first/second half share a byte
-    packed = ((lo & 0x0F) | (hi << 4)).astype(jnp.int8)
+    packed = (((lo + 8) & 0x0F) | (hi << 4)).astype(jnp.int8)
     return {"w4": packed, "gscale": scale.astype(jnp.float32)}
 
 
 def _unpack_int4(packed: jnp.ndarray, dtype) -> jnp.ndarray:
     """(G, g/2, n) nibble-packed int8 -> (G, g, n) values in `dtype`
-    (half-split packing; arithmetic shifts sign-extend each nibble)."""
-    lo = ((packed << 4) >> 4).astype(dtype)  # low nibble, sign-extended
-    hi = (packed >> 4).astype(dtype)  # high nibble (arithmetic shift)
+    (half-split packing, +8-biased low nibble)."""
+    p32 = packed.astype(jnp.int32)
+    lo = ((p32 & 0x0F) - 8).astype(dtype)
+    hi = (p32 >> 4).astype(dtype)  # arithmetic shift sign-extends
     return jnp.concatenate([lo, hi], axis=1)
 
 
-def _gemv4_kernel(x_ref, w_ref, s_ref, o_ref):
-    # x (bm, d) bf16; w (G, g/2, bn) packed int8; s (G, bn) f32.
-    # Nibble unpack in i32: Mosaic cannot legalize shifts on i8 vectors
-    # (arith.shli fails to legalize), and i32 >> / & lower cleanly.
-    p32 = w_ref[:].astype(jnp.int32)
-    hi = (p32 >> 4).astype(jnp.bfloat16)  # arithmetic: sign-extends
-    r = p32 & 15
-    lo = (r - jnp.where(r >= 8, 16, 0)).astype(jnp.bfloat16)
-    w = jnp.concatenate([lo, hi], axis=1)  # (G, g, bn)
-    w = w * s_ref[:][:, None, :].astype(jnp.bfloat16)
-    G, g, bn = w.shape
-    w = w.reshape(G * g, bn)
-    y = jax.lax.dot_general(
-        x_ref[:], w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+def _split_x_halves(x2: jnp.ndarray, G: int, group: int):
+    """x (m, d) f32 -> xlo/xc (G, m, g/2) bf16 + sx8 (m, G) f32 for the
+    biased-nibble GEMV identity (see quantize_int4)."""
+    m = x2.shape[0]
+    half = group // 2
+    xr = x2.reshape(m, G, group)
+    xlo = xr[:, :, :half]
+    xhi = xr[:, :, half:]
+    xc = (xhi - 16.0 * xlo).transpose(1, 0, 2).astype(jnp.bfloat16)
+    sx8 = (-8.0 * jnp.sum(xlo, axis=2)).astype(jnp.float32)
+    return xlo.transpose(1, 0, 2).astype(jnp.bfloat16), xc, sx8
+
+
+def _gemv4_kernel(xlo_ref, xc_ref, sx8_ref, w_ref, s_ref, o_ref):
+    # xlo/xc (G, bm, g/2) bf16; sx8 (bm, G) f32; w (G, g/2, bn) packed int8;
+    # s (G, bn) f32. One nibble extraction (i32 >> 4: Mosaic cannot legalize
+    # i8 shifts or bf16 floor); per-group batched dots so the TRUE
+    # per-(group, n) scales land on the (G, bm, bn) dot outputs instead of
+    # every weight element.
+    byte = w_ref[...].reshape(w_ref.shape[-3:]).astype(jnp.bfloat16)
+    hi = (w_ref[...].reshape(w_ref.shape[-3:]).astype(jnp.int32) >> 4).astype(jnp.bfloat16)
+    dn = (((2,), (1,)), ((0,), (0,)))  # batch G, contract g/2
+    a = jax.lax.dot_general(xlo_ref[:], byte, dn, preferred_element_type=jnp.float32)
+    a += jax.lax.dot_general(xc_ref[:], hi, dn, preferred_element_type=jnp.float32)
+    s = s_ref[...].reshape(s_ref.shape[-2:])
+    y = jnp.sum(a * s[:, None, :], axis=0)  # (bm, bn)
+    y += jax.lax.dot_general(
+        sx8_ref[:], s, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     o_ref[:] = y
+
+
+def _pick_block_n(n: int, d_bytes: int) -> int:
+    """Largest block_n <= BLOCK_N that divides n and keeps the packed block
+    + f32 intermediates under VMEM budget."""
+    block_n = min(BLOCK_N, n)
+    while block_n > 8 and (n % block_n or 2 * d_bytes * block_n > 5 * 1024 * 1024):
+        block_n //= 2
+    return max(block_n, math.gcd(n, 128))
 
 
 def int4_matmul(x: jnp.ndarray, w4: jnp.ndarray, gscale: jnp.ndarray) -> jnp.ndarray:
@@ -262,51 +347,114 @@ def int4_matmul(x: jnp.ndarray, w4: jnp.ndarray, gscale: jnp.ndarray) -> jnp.nda
 
     Pallas kernel: int4 weights stream to VMEM packed and dequantize
     on-chip. XLA formulations materialize the unpacked bf16 matrix in HBM
-    (measured 113-188 ms/step for the 7B chain vs ~5 ms int4 floor)."""
+    (measured 113-188 ms/step for the 7B chain vs ~5 ms int4 floor).
+    Standalone layer form; inside a layer scan use int4_matmul_stacked
+    (scan-sliced pallas operands pay a full-weight copy per layer)."""
     shape = x.shape
     G, half, n = w4.shape
     d = G * half * 2
-    x2 = x.reshape(-1, d)
+    x2 = x.reshape(-1, d).astype(jnp.float32)
     m = x2.shape[0]
-    block_m, block_n = _pick_blocks(m, d // 2, n)  # packed bytes ~ d/2
+    block_m, _ = _pick_blocks(m, d // 2, n)
+    block_n = _pick_block_n(n, d // 2)
     m_pad = _cdiv(m, block_m) * block_m
-    n_pad = _cdiv(n, block_n) * block_n
     if m_pad != m:
         x2 = jnp.pad(x2, [(0, m_pad - m), (0, 0)])
-    if n_pad != n:
-        w4 = jnp.pad(w4, [(0, 0), (0, 0), (0, n_pad - n)])
-        gscale = jnp.pad(gscale, [(0, 0), (0, n_pad - n)])
+    xlo, xc, sx8 = _split_x_halves(x2, G, half * 2)
 
     out = pl.pallas_call(
         _gemv4_kernel,
-        grid=(m_pad // block_m, n_pad // block_n),
+        grid=(m_pad // block_m, n // block_n),
         in_specs=[
-            pl.BlockSpec((block_m, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, block_m, half), lambda i, j: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, block_m, half), lambda i, j: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, G), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((G, half, block_n), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((G, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
         interpret=_interpret(),
-    )(x2.astype(jnp.bfloat16), w4, gscale)
+    )(xlo, xc, sx8, w4, gscale)
+    return out[:m, :n].reshape(shape[:-1] + (n,)).astype(x.dtype)
+
+
+def int4_matmul_stacked(
+    x: jnp.ndarray, w4_all: jnp.ndarray, gs_all: jnp.ndarray, layer_idx
+) -> jnp.ndarray:
+    """x (..., d) @ dequant(w4_all (L, G, g/2, n)[layer_idx]) — for use
+    INSIDE a layer scan: the full stacked weight buffer stays a scan
+    constant and the layer is selected by a scalar-prefetched index in the
+    BlockSpec index_map. Slicing the layer in XLA instead makes the
+    pallas operand a materialized COPY (slice-read + copy-write +
+    kernel-read = 3x HBM traffic): measured 11.3 -> 7.7 ms/step for the 7B
+    GEMV chain (tools/perf_int4_variants.py; raw int8 DMA is full-rate,
+    tools/perf_pallas_dma.py)."""
+    shape = x.shape
+    L, G, half, n = w4_all.shape
+    d = G * half * 2
+    x2 = x.reshape(-1, d).astype(jnp.float32)
+    m = x2.shape[0]
+    block_m, _ = _pick_blocks(m, d // 2, n)
+    block_n = _pick_block_n(n, d // 2)
+    m_pad = _cdiv(m, block_m) * block_m
+    if m_pad != m:
+        x2 = jnp.pad(x2, [(0, m_pad - m), (0, 0)])
+    xlo, xc, sx8 = _split_x_halves(x2, G, half * 2)
+
+    def kernel(l_ref, *refs):  # scalar-prefetch ref arrives first
+        _gemv4_kernel(*refs)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(m_pad // block_m, n // block_n),
+            in_specs=[
+                pl.BlockSpec((G, block_m, half), lambda i, j, l: (0, i, 0)),
+                pl.BlockSpec((G, block_m, half), lambda i, j, l: (0, i, 0)),
+                pl.BlockSpec((block_m, G), lambda i, j, l: (i, 0)),
+                pl.BlockSpec((1, G, half, block_n), lambda i, j, l: (l[0], 0, 0, j)),
+                pl.BlockSpec((1, G, block_n), lambda i, j, l: (l[0], 0, j)),
+            ],
+            out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, l: (i, j)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+        interpret=_interpret(),
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), xlo, xc, sx8, w4_all, gs_all)
     return out[:m, :n].reshape(shape[:-1] + (n,)).astype(x.dtype)
 
 
 def quantize_llama_int4(llama_params: dict, group: int = INT4_GROUP) -> dict:
     """bf16/f32 llama tree -> int4 weight-only (decoder projections).
-    7B: 13.5 GB -> ~3.6 GB of projection weights."""
-    out = dict(llama_params)
-    layers = dict(llama_params["layers"])
+    7B: 13.5 GB -> ~3.6 GB of projection weights.
 
-    def quant_stacked(w):  # (L, din, dout)
-        qs = [quantize_int4(w[i], group) for i in range(w.shape[0])]
+    Emits FUSED stacked leaves under layers["int4"]:
+      wqkv (q,k,v concat on dout), wo, wgu (gate,up concat), w_down
+    — 4 pallas calls/layer instead of 7 (per-call overhead is ~12 us), and
+    the stacked (L, ...) buffers feed int4_matmul_stacked's scalar-prefetch
+    layer indexing inside the decoder scan (avoids the scan-slice copy)."""
+    out = dict(llama_params)
+    attn = llama_params["layers"]["attn"]
+    mlp = llama_params["layers"]["mlp"]
+    fused = {
+        "wqkv": [attn["wq"], attn["wk"], attn["wv"]],
+        "wo": [attn["wo"]],
+        "wgu": [mlp["w_gate"], mlp["w_up"]],
+        "w_down": [mlp["w_down"]],
+    }
+
+    def quant_stacked(ws):  # list of (L, din, dout_i), concat on dout
+        L = ws[0].shape[0]
+        qs = [
+            quantize_int4(jnp.concatenate([w[i] for w in ws], axis=1), group)
+            for i in range(L)
+        ]
         return {"w4": jnp.stack([q["w4"] for q in qs]),
                 "gscale": jnp.stack([q["gscale"] for q in qs])}
 
-    for grp in ("attn", "mlp"):
-        layers[grp] = {k: quant_stacked(v) for k, v in llama_params["layers"][grp].items()}
     out["layers"] = {
-        **layers,
+        "int4": {k: quant_stacked(v) for k, v in fused.items()},
         "attn_norm": llama_params["layers"]["attn_norm"],
         "mlp_norm": llama_params["layers"]["mlp_norm"],
     }

@@ -110,8 +110,9 @@ def test_int4_full_model_decode():
     from handsonvlm_tpu.infer.sampler import generate_chunked
 
     params, cfg, tok = load_pretrained_model("random:tiny", "tiny", quantize="int4")
-    leaf = params["llama"]["layers"]["attn"]["wq"]
+    leaf = params["llama"]["layers"]["int4"]["wqkv"]  # fused stacked leaves
     assert "w4" in leaf and leaf["w4"].dtype == jnp.int8  # nibble-packed
+    assert leaf["w4"].ndim == 4  # (L, G, g/2, n) for scalar-prefetch indexing
     rng = np.random.default_rng(1)
     ids = rng.integers(3, 1000, size=(1, 10)); ids[0, 1] = -200
     images = rng.normal(size=(1, cfg.num_frames, 3, cfg.vision.image_size,
