@@ -342,6 +342,17 @@ def _pick_block_n(n: int, d_bytes: int) -> int:
     return max(block_n, math.gcd(n, 128))
 
 
+def _pick_blocks_int4(m: int, G: int, half: int, n: int):
+    """Blocks for the batched-group GEMV: the (G, bm, bn) f32 dot
+    intermediate dominates VMEM at prefill sizes — cap it at ~4 MB
+    (bm=256 blew the 16 MB scoped-vmem limit at 7B prefill)."""
+    block_n = _pick_block_n(n, G * half)
+    block_m = min(BLOCK_M, max(m, 8))
+    while block_m > 8 and G * block_m * block_n * 4 > 4 * 1024 * 1024:
+        block_m //= 2
+    return block_m, block_n
+
+
 def int4_matmul(x: jnp.ndarray, w4: jnp.ndarray, gscale: jnp.ndarray) -> jnp.ndarray:
     """x (..., d) @ dequant(nibble-packed w4 (G, g/2, n)) -> (..., n).
 
@@ -355,8 +366,7 @@ def int4_matmul(x: jnp.ndarray, w4: jnp.ndarray, gscale: jnp.ndarray) -> jnp.nda
     d = G * half * 2
     x2 = x.reshape(-1, d).astype(jnp.float32)
     m = x2.shape[0]
-    block_m, _ = _pick_blocks(m, d // 2, n)
-    block_n = _pick_block_n(n, d // 2)
+    block_m, block_n = _pick_blocks_int4(m, G, half, n)
     m_pad = _cdiv(m, block_m) * block_m
     if m_pad != m:
         x2 = jnp.pad(x2, [(0, m_pad - m), (0, 0)])
@@ -395,8 +405,7 @@ def int4_matmul_stacked(
     d = G * half * 2
     x2 = x.reshape(-1, d).astype(jnp.float32)
     m = x2.shape[0]
-    block_m, _ = _pick_blocks(m, d // 2, n)
-    block_n = _pick_block_n(n, d // 2)
+    block_m, block_n = _pick_blocks_int4(m, G, half, n)
     m_pad = _cdiv(m, block_m) * block_m
     if m_pad != m:
         x2 = jnp.pad(x2, [(0, m_pad - m), (0, 0)])
