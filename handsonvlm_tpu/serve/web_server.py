@@ -122,7 +122,34 @@ def _post_json(url: str, payload: dict, timeout: float = 10.0) -> dict:
         return json.loads(r.read())
 
 
-def serve_web(controller_addr: str, host: str = "0.0.0.0", port: int = 7860):
+MODERATION_MSG = (
+    "YOUR INPUT VIOLATES OUR CONTENT MODERATION GUIDELINES. PLEASE TRY AGAIN."
+)
+
+
+def violates_moderation(text: str) -> bool:
+    """OpenAI moderation check (reference llava/utils.py:102-123;
+    gradio_web_server gates prompts on it when --moderate is set). Requires
+    OPENAI_API_KEY; fails open on any error, like the reference."""
+    import os
+
+    key = os.environ.get("OPENAI_API_KEY")
+    if not key:
+        return False
+    try:
+        req = urllib.request.Request(
+            "https://api.openai.com/v1/moderations",
+            json.dumps({"input": text.replace("\n", "")}).encode(),
+            {"Content-Type": "application/json", "Authorization": "Bearer " + key},
+        )
+        with urllib.request.urlopen(req, timeout=5) as r:
+            return bool(json.loads(r.read())["results"][0]["flagged"])
+    except Exception:  # noqa: BLE001 — reference returns False on errors
+        return False
+
+
+def serve_web(controller_addr: str, host: str = "0.0.0.0", port: int = 7860,
+              moderate: bool = False):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
             pass
@@ -156,6 +183,9 @@ def serve_web(controller_addr: str, host: str = "0.0.0.0", port: int = 7860):
                 self._send(404, b'{"error": "unknown path"}')
 
         def _proxy_generate(self, data: dict):
+            if moderate and violates_moderation(data.get("prompt", "")):
+                self._send(400, json.dumps({"error": MODERATION_MSG}).encode())
+                return
             try:
                 addr = _post_json(
                     controller_addr + "/get_worker_address", {"model": data.get("model", "")}
@@ -206,8 +236,10 @@ def main():
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--controller", default="http://localhost:10000")
+    p.add_argument("--moderate", action="store_true",
+                   help="OpenAI moderation gate on prompts (needs OPENAI_API_KEY)")
     args = p.parse_args()
-    server = serve_web(args.controller, args.host, args.port)
+    server = serve_web(args.controller, args.host, args.port, moderate=args.moderate)
     print(f"web UI on http://{args.host}:{args.port} (controller {args.controller})")
     server.serve_forever()
 
