@@ -95,20 +95,21 @@ class InferenceEngine:
             attn[i, bucket - r.shape[0]:] = True
         return ids, attn
 
-    def infer(self, question: str, images: np.ndarray, rng: jax.Array):
+    def infer(self, question: str, images: np.ndarray, rng: jax.Array, params=None):
         """question + (1,100,3,224,224) frames -> (pred (1,2,4,2), valid,
-        generated ids)."""
-        preds, valids, gen = self.infer_batch([question], images, rng)
+        generated ids). ``params`` overrides self.params for this call
+        (serving LoRA hot-swap: serve/lora_registry.py)."""
+        preds, valids, gen = self.infer_batch([question], images, rng, params=params)
         return preds, valids, gen[0]
 
-    def infer_batch(self, questions, images: np.ndarray, rng: jax.Array):
+    def infer_batch(self, questions, images: np.ndarray, rng: jax.Array, params=None):
         """Batched decode for serving: B questions + (B,T,...) frames ->
         (pred (B,2,4,2), valid (B,), [gen_ids per row])."""
         rows = [self.build_prompt_ids(q)[0] for q in questions]
         ids, attn = self._pad_to_bucket(rows)
         images, frame_map = self.dedup_frames(np.asarray(images))
         out = generate_chunked(
-            self.params,
+            self.params if params is None else params,
             self.cfg,
             jnp.asarray(ids),
             jnp.asarray(images, self.cfg.cdtype),

@@ -35,11 +35,23 @@ class DynamicBatcher:
         self._thread = threading.Thread(target=self._collect_loop, daemon=True)
         self._thread.start()
 
-    def submit(self, question: str, frames: np.ndarray, seed: int, timeout=600.0):
+    def submit(
+        self,
+        question: str,
+        frames: np.ndarray,
+        seed: int,
+        timeout=600.0,
+        lora: Optional[str] = None,
+        params=None,
+    ):
         """frames: (T, 3, H, W) for ONE request. Blocks until decoded.
-        Returns (pred (2,4,2), valid bool, gen_ids)."""
+        Returns (pred (2,4,2), valid bool, gen_ids).
+
+        ``lora`` keys adapter grouping (only same-adapter requests share a
+        decode batch — one lora tree per generate call); ``params`` is the
+        full per-request params dict for that adapter (lora_registry)."""
         fut: Future = Future()
-        self.queue.put((question, frames, seed, fut))
+        self.queue.put((question, frames, seed, fut, lora, params))
         return fut.result(timeout=timeout)
 
     def stop(self):
@@ -64,7 +76,12 @@ class DynamicBatcher:
                     batch.append(self.queue.get(timeout=remaining))
                 except queue.Empty:
                     break
-            self._run(batch)
+            # partition by adapter: one lora tree per generate call
+            groups: dict = {}
+            for req in batch:
+                groups.setdefault(req[4], []).append(req)
+            for group in groups.values():
+                self._run(group)
 
     def _run(self, batch: List):
         import jax
@@ -73,6 +90,7 @@ class DynamicBatcher:
         frames = [b[1] for b in batch]
         seed = batch[0][2]
         futures = [b[3] for b in batch]
+        params = batch[0][5]
         # pad to the next power of two: bounded set of decode programs
         # (1,2,4,8,...) instead of one compile per co-arrival count
         n = len(batch)
@@ -85,7 +103,7 @@ class DynamicBatcher:
         frames = np.stack(frames)  # (B_padded, T, 3, H, W)
         try:
             pred, valid, gen_ids = self.engine.infer_batch(
-                questions, frames, jax.random.PRNGKey(seed)
+                questions, frames, jax.random.PRNGKey(seed), params=params
             )
             self.batches_run += 1
             self.requests_served += len(batch)

@@ -48,6 +48,8 @@ class ModelWorker:
         batch_wait_ms: float = 30.0,
         quantize: Optional[str] = None,
         defer_load: bool = False,
+        lora_dir: Optional[str] = None,
+        lora_resident: int = 4,
     ):
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
@@ -58,7 +60,10 @@ class ModelWorker:
         self.lock = threading.Lock()
         self._stop = threading.Event()
         self.ready = False
-        self._load_args = (model_path, preset, quantize, max_batch, batch_wait_ms)
+        self._load_args = (
+            model_path, preset, quantize, max_batch, batch_wait_ms,
+            lora_dir, lora_resident,
+        )
         if not defer_load:
             self.load()
 
@@ -67,7 +72,8 @@ class ModelWorker:
         server (and /healthz) can bind *before* this runs, so operators can
         distinguish "loading" from "dead" during the minutes-long model load
         (ROADMAP round-1 item; the reference worker binds only after load)."""
-        model_path, preset, quantize, max_batch, batch_wait_ms = self._load_args
+        (model_path, preset, quantize, max_batch, batch_wait_ms,
+         lora_dir, lora_resident) = self._load_args
 
         from handsonvlm_tpu.eval.evaluator import InferenceEngine
         from handsonvlm_tpu.infer.builder import load_pretrained_model
@@ -76,6 +82,14 @@ class ModelWorker:
         self.engine = InferenceEngine(params=params, cfg=cfg, tokenizer=tokenizer)
         self.cfg = cfg
         self._seed = 0
+        self.lora = None
+        if lora_dir:
+            import jax.numpy as jnp
+
+            from handsonvlm_tpu.serve.lora_registry import LoraRegistry
+
+            self.lora = LoraRegistry(lora_dir, max_resident=lora_resident, cast=jnp.bfloat16)
+            print(f"lora adapters: {self.lora.names}")
         self.batcher = None
         if max_batch > 1:
             from handsonvlm_tpu.serve.batcher import DynamicBatcher
@@ -105,12 +119,33 @@ class ModelWorker:
             "model_names": [self.model_name],
         }
 
+    def _model_names(self) -> list:
+        """Base name plus one `<base>:<adapter>` alias per LoRA adapter, so
+        the controller routes adapter-qualified model requests here and the
+        web UI's model dropdown lists every adapter."""
+        names = [self.model_name]
+        if getattr(self, "lora", None) is not None:
+            names += [f"{self.model_name}:{a}" for a in self.lora.names]
+        return names
+
     def status(self) -> dict:
         return {
-            "model_names": [self.model_name],
+            "model_names": self._model_names(),
             "speed": 1,
             "queue_length": self.queue_length,
         }
+
+    def _request_params(self, payload: dict):
+        """Resolve the per-request params dict: explicit `lora` field, else a
+        `<model>:<adapter>` qualified model name, else the base params."""
+        name = payload.get("lora")
+        if not name:
+            model = payload.get("model", "")
+            if ":" in model:
+                name = model.split(":", 1)[1]
+        if not name or name == "base" or self.lora is None:
+            return self.engine.params, None
+        return self.lora.params_for(self.engine.params, name), name
 
     def register(self):
         _post(
@@ -168,14 +203,17 @@ class ModelWorker:
             frames = self._frames(payload)
             self._apply_options(payload)
             self._seed += 1
+            params, lora_name = self._request_params(payload)
             if self.batcher is not None:
                 pred_row, valid_row, gen_ids = self.batcher.submit(
-                    payload["prompt"], frames, self._seed
+                    payload["prompt"], frames, self._seed,
+                    lora=lora_name, params=params,
                 )
                 pred, valid = pred_row[None], np.asarray([valid_row])
             else:
                 pred, valid, gen_ids = self.engine.infer(
-                    payload["prompt"], frames[None], jax.random.PRNGKey(self._seed)
+                    payload["prompt"], frames[None], jax.random.PRNGKey(self._seed),
+                    params=params,
                 )
             text = (
                 self.engine.tokenizer.decode(gen_ids)
@@ -215,6 +253,7 @@ class ModelWorker:
             frames = self._frames(payload)
             self._apply_options(payload)
             self._seed += 1
+            req_params, _ = self._request_params(payload)
             ids = self.engine.build_prompt_ids(payload["prompt"])
             # LEFT-pad to the engine's bucket size: one prefill compile per
             # bucket instead of one per prompt length (see InferenceEngine.infer)
@@ -237,7 +276,7 @@ class ModelWorker:
             def run():
                 try:
                     out = generate_host(
-                        self.engine.params, self.cfg, ids, frames[None],
+                        req_params, self.cfg, ids, frames[None],
                         jax.random.PRNGKey(self._seed),
                         max_new_tokens=self.engine.max_new_tokens,
                         temperature=self.engine.temperature,
@@ -347,6 +386,11 @@ def main():
                    help="int8 weight-only decoder (recommended with --max-batch)")
     p.add_argument("--int4", action="store_true",
                    help="int4 group-wise weight-only decoder")
+    p.add_argument("--lora-dir", default=None,
+                   help="directory of LoRA adapter subdirs to hot-swap per "
+                        "request (serve/lora_registry.py)")
+    p.add_argument("--lora-resident", type=int, default=4,
+                   help="max adapters resident in HBM at once (LRU)")
     args = p.parse_args()
     addr = args.worker_address or f"http://localhost:{args.port}"
     worker = ModelWorker(
@@ -355,6 +399,7 @@ def main():
         max_batch=args.max_batch, batch_wait_ms=args.batch_wait_ms,
         quantize="int8" if args.int8 else ("int4" if args.int4 else None),
         defer_load=True,
+        lora_dir=args.lora_dir, lora_resident=args.lora_resident,
     )
     # bind + serve /healthz immediately; generate endpoints 503 until loaded
     server = serve_worker(worker, args.host, args.port)

@@ -225,3 +225,99 @@ def test_worker_dynamic_batching():
     finally:
         w_server.shutdown()
         worker.stop()
+
+
+def _make_adapter_dir(tmpdir, cfg, name, seed, r=4):
+    """Write a LoRA adapter artifact with nonzero B so it shifts logits."""
+    import jax
+    import jax.numpy as jnp
+
+    from handsonvlm_tpu.core.checkpoint import save_artifact
+    from handsonvlm_tpu.models.lora import init_lora
+
+    lora = init_lora(jax.random.PRNGKey(seed), cfg.llama, r=r, alpha=8.0)
+    lora["adapters"] = jax.tree_util.tree_map(
+        lambda x: x + 0.05 * jax.random.normal(jax.random.PRNGKey(seed + 1), x.shape, x.dtype)
+        if x.ndim == 3 else x,
+        lora["adapters"],
+    )
+    path = f"{tmpdir}/{name}"
+    save_artifact(path, "lora", lora, meta={"base": "random:tiny"})
+    return path
+
+
+def test_lora_hot_swap(tmp_path):
+    """Worker serves base + per-request LoRA adapters from one resident model:
+    adapters advertised as `<model>:<adapter>` names, requests routed by
+    `lora` field or model suffix, adapter changes the sampled output, and the
+    batcher never mixes adapters in one decode batch."""
+    import jax
+
+    from handsonvlm_tpu.serve.lora_registry import LoraRegistry
+    from handsonvlm_tpu.serve.model_worker import ModelWorker, serve_worker
+
+    worker = ModelWorker(
+        None, "http://127.0.0.1:0", "random:tiny", preset="tiny",
+        model_name="tiny", max_batch=4, batch_wait_ms=150.0, defer_load=True,
+    )
+    # adapters need the loaded cfg — load the base first, then the dir
+    worker._load_args = worker._load_args[:5] + (None, 4)
+    worker.load()
+    cfg = worker.cfg
+    _make_adapter_dir(tmp_path, cfg, "styleA", seed=7)
+    _make_adapter_dir(tmp_path, cfg, "styleB", seed=99)
+    worker.lora = LoraRegistry(str(tmp_path), max_resident=1)
+    assert worker.lora.names == ["styleA", "styleB"]
+    assert worker._model_names() == ["tiny", "tiny:styleA", "tiny:styleB"]
+
+    # adapter changes the decode output at identical rng
+    engine = worker.engine
+    frames = np.zeros(
+        (1, cfg.num_frames, 3, cfg.vision.image_size, cfg.vision.image_size), np.float32
+    )
+    rng = jax.random.PRNGKey(0)
+    base_pred, _, base_ids = engine.infer("Where?", frames, rng)
+    pa = worker.lora.params_for(engine.params, "styleA")
+    a_pred, _, a_ids = engine.infer("Where?", frames, rng, params=pa)
+    assert (list(a_ids) != list(base_ids)) or not np.allclose(base_pred, a_pred, atol=1e-3)
+    # base params dict untouched by the overlay
+    assert "lora" not in engine.params
+
+    # LRU: capacity 1 -> loading the second adapter evicts the first
+    worker.lora.params_for(engine.params, "styleB")
+    assert worker.lora.evictions == 1
+
+    w_server = serve_worker(worker, "127.0.0.1", 0)
+    w_port = w_server.server_address[1]
+    threading.Thread(target=w_server.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{w_port}/worker_generate"
+        out = _post(url, {"prompt": "hi", "lora": "styleA", "max_new_tokens": 3}, timeout=300)
+        assert out["error_code"] == 0
+        # adapter via model-name suffix (web-UI dropdown path)
+        out = _post(url, {"prompt": "hi", "model": "tiny:styleB", "max_new_tokens": 3}, timeout=300)
+        assert out["error_code"] == 0
+        # unknown adapter -> clean 500, not a hang
+        try:
+            _post(url, {"prompt": "hi", "lora": "nope", "max_new_tokens": 3}, timeout=60)
+            assert False, "expected 500"
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+
+        # batcher groups by adapter: concurrent mixed-adapter requests run
+        # in >= 2 decode batches (one per adapter), all succeed
+        from concurrent.futures import ThreadPoolExecutor
+
+        base_batches = worker.batcher.batches_run
+
+        def ask(i):
+            lora = ["styleA", "styleB"][i % 2]
+            return _post(url, {"prompt": f"q{i}", "lora": lora, "max_new_tokens": 3}, timeout=300)
+
+        with ThreadPoolExecutor(4) as pool:
+            outs = list(pool.map(ask, range(4)))
+        assert all(o["error_code"] == 0 for o in outs)
+        assert worker.batcher.batches_run - base_batches >= 2
+    finally:
+        w_server.shutdown()
+        worker.stop()
