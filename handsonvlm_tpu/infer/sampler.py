@@ -83,6 +83,15 @@ def _sample_token(rng, logits, temperature: float, top_p: float):
     return jax.random.categorical(rng, warped, axis=-1).astype(jnp.int32)
 
 
+
+def _round_cache_len(n: int) -> int:
+    """Cache allocations round up to a multiple of 256 so the stacked decode
+    kernel's 128-lane block rule always holds (ops/decode_attention.py
+    stacked_kernel_ok); the kernel clamps index_maps past the filled length,
+    so the extra slots cost HBM capacity but zero decode bandwidth."""
+    return -(-n // 256) * 256
+
+
 def prefill(
     params,
     cfg: HandsOnVLMConfig,
@@ -254,7 +263,7 @@ def generate(
     """
     t_prompt = input_ids.shape[1] + cfg.num_visual_tokens - 1
     if max_len == 0:
-        max_len = t_prompt + max_new_tokens + 1
+        max_len = _round_cache_len(t_prompt + max_new_tokens + 1)
     last_hidden, cache, cache_mask = prefill(
         params, cfg, input_ids, images, max_len, attn_impl=attn_impl
     )
@@ -425,7 +434,7 @@ def generate_chunked(
     n_chunks = -(-(max_new_tokens - 1) // chunk)
     if max_len == 0:
         # full chunks may run past max_new_tokens; size the cache for them
-        max_len = t_prompt + 1 + n_chunks * chunk + 1
+        max_len = _round_cache_len(t_prompt + 1 + n_chunks * chunk + 1)
 
     last_hidden, cache, cache_mask = _prefill_jit(
         params, cfg, input_ids, jnp.asarray(images), max_len, attn_impl,
@@ -527,7 +536,7 @@ def generate_host(
     b = input_ids.shape[0]
     t_prompt = input_ids.shape[1] + cfg.num_visual_tokens - 1
     if max_len == 0:
-        max_len = t_prompt + max_new_tokens + 1
+        max_len = _round_cache_len(t_prompt + max_new_tokens + 1)
 
     last_hidden, cache, cache_mask = _prefill_jit(
         params, cfg, input_ids, jnp.asarray(images), max_len, attn_impl,

@@ -144,8 +144,17 @@ def _layer(
     lora_scale: float = 0.0,
     int4_stacked=None,
     layer_idx=None,
+    stacked_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ):
     """One decoder block. Returns (hidden, (new_k_slice, new_v_slice)).
+
+    With `stacked_kv` (decode fast path) the FULL (L,B,S,K,D) cache rides
+    the scan carry: this layer's new kv is written as a single-row
+    dynamic_update_slice (in-place on the carry) and attention reads the
+    layer through a scalar-prefetched index_map
+    (ops.decode_attention.decode_attention_stacked) — never XLA-slicing the
+    layer out, which would materialize (B,S,K,D) copies per layer per step
+    (measured 25-32 ms/step at 7B B=8; tools/perf_batch_step.py).
 
     With `int4_stacked` (the FULL stacked int4 projection tree, a scan
     constant) projections run through int4_matmul_stacked selecting
@@ -184,24 +193,58 @@ def _layer(
     q = apply_rope(q, cos, sin)
     kx = apply_rope(kx, cos, sin)
 
-    if layer_kv is not None:
-        ck, cv = layer_kv  # (B, S_max, K, D)
-        ck = jax.lax.dynamic_update_slice(ck, kx.astype(ck.dtype), (0, cache_index, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, vx.astype(cv.dtype), (0, cache_index, 0, 0))
-        keys_, vals_ = ck, cv
+    if stacked_kv is not None:
+        assert t == 1
+        ck, cv = stacked_kv  # (L, B, S_max, K, D)
+        ck = jax.lax.dynamic_update_slice(
+            ck, kx[None].astype(ck.dtype), (layer_idx, 0, cache_index, 0, 0)
+        )
+        cv = jax.lax.dynamic_update_slice(
+            cv, vx[None].astype(cv.dtype), (layer_idx, 0, cache_index, 0, 0)
+        )
         new_kv = (ck, cv)
-    else:
-        keys_, vals_ = kx, vx
-        new_kv = (kx, vx)
+        from handsonvlm_tpu.ops.decode_attention import stacked_kernel_ok
 
-    decode_length = None
-    if layer_kv is not None and t == 1:
-        decode_length = cache_index + t
-    out = attention(
-        q, keys_, vals_, key_mask=key_mask, causal=True, q_offset=q_offset,
-        impl=attn_impl, decode_length=decode_length,
-    )
-    out = out.reshape(b, t, h * hd)
+        use_kernel = (
+            attn_impl in ("auto", "decode")
+            and hd % 8 == 0
+            and stacked_kernel_ok(ck.shape[2])
+        )
+        if use_kernel:
+            from handsonvlm_tpu.ops.decode_attention import decode_attention_stacked
+
+            out = decode_attention_stacked(
+                q, ck, cv, layer_idx, cache_index + 1, key_mask=key_mask
+            )
+        else:
+            # XLA dots fuse the layer slice (no copy), unlike pallas operands
+            out = attention(
+                q,
+                jax.lax.dynamic_index_in_dim(ck, layer_idx, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(cv, layer_idx, 0, keepdims=False),
+                key_mask=key_mask, causal=True, q_offset=q_offset,
+                impl="xla", decode_length=cache_index + 1,
+            )
+        out = out.reshape(b, t, h * hd)
+    else:
+        if layer_kv is not None:
+            ck, cv = layer_kv  # (B, S_max, K, D)
+            ck = jax.lax.dynamic_update_slice(ck, kx.astype(ck.dtype), (0, cache_index, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, vx.astype(cv.dtype), (0, cache_index, 0, 0))
+            keys_, vals_ = ck, cv
+            new_kv = (ck, cv)
+        else:
+            keys_, vals_ = kx, vx
+            new_kv = (kx, vx)
+
+        decode_length = None
+        if layer_kv is not None and t == 1:
+            decode_length = cache_index + t
+        out = attention(
+            q, keys_, vals_, key_mask=key_mask, causal=True, q_offset=q_offset,
+            impl=attn_impl, decode_length=decode_length,
+        )
+        out = out.reshape(b, t, h * hd)
     if int4_stacked is not None:
         hidden = hidden + iproj(out, "wo") + lora_delta(lora_layer, "wo", out, lora_scale)
         x = rms_norm(hidden, lp["mlp_norm"]["scale"], cfg.rms_norm_eps)
@@ -239,7 +282,7 @@ def apply_llama(
     attn_impl: str = "auto",
     remat: bool = False,
     lora: Optional[dict] = None,
-    cache_scan_mode: str = "carry",
+    cache_scan_mode: str = "auto",
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the decoder stack.
 
@@ -288,6 +331,34 @@ def apply_llama(
     layer_ids = jnp.arange(cfg.num_layers)
 
     if kv_cache is not None:
+        if cache_scan_mode == "auto":
+            cache_scan_mode = "stacked" if t == 1 else "carry"
+        if cache_scan_mode == "stacked":
+            # Decode fast path: cache rides the carry WHOLE; each layer
+            # writes one row (in-place DUS) and attends through a
+            # scalar-prefetched layer index — no per-layer (B,S,K,D)
+            # slice copies (25-32 -> ~12 ms/step at 7B int4 B=8 S=832).
+            assert t == 1, "stacked cache mode is decode-only"
+
+            def scan_body(carry, layer_in):
+                hidden, ck, cv = carry
+                lp, lora_l, layer_idx = layer_in
+                hidden, (ck, cv) = _layer(
+                    hidden, lp, cfg, cos, sin, key_mask, q_offset, None,
+                    cache_index, attn_impl, lora_l, lora_scale,
+                    int4_stacked, layer_idx, stacked_kv=(ck, cv),
+                )
+                return (hidden, ck, cv), None
+
+            if remat:
+                scan_body = jax.checkpoint(scan_body)
+            (hidden, ck, cv), _ = jax.lax.scan(
+                scan_body, (inputs_embeds, kv_cache.k, kv_cache.v),
+                (layer_params, lora_adapters, layer_ids),
+            )
+            hidden = rms_norm(hidden, params["final_norm"]["scale"], cfg.rms_norm_eps)
+            return hidden, KVCache(k=ck, v=cv, index=kv_cache.index + t)
+
         if cache_scan_mode == "ys":
             # Cache layers ride the scan's native xs/ys slicing: each
             # iteration reads its (B,S,K,D) slice from xs and emits the

@@ -108,6 +108,188 @@ def _decode_kernel(
         out_ref[0] = (acc_ref[:] / l_safe).astype(out_ref.dtype)
 
 
+def _decode_stacked_kernel(
+    s_ref,  # scalar prefetch (2,) int32: [layer_idx, length]
+    q_ref,  # (1, H, D)
+    k_ref,  # (1, 1, block_k, K, D) — block of the FULL (L,B,S,K,D) cache
+    v_ref,
+    mask_ref,  # (1, 1, block_k) int32
+    out_ref,  # (1, H, D)
+    acc_ref,  # scratch (H, D) f32
+    m_ref,  # scratch (H, 1) f32
+    l_ref,  # scratch (H, 1) f32
+    *,
+    scale: float,
+    block_k: int,
+    groups: int,
+):
+    ki = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    length = s_ref[1]
+    run = ki * block_k < length
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)  # (H, D)
+        k = k_ref[0, 0].astype(jnp.float32)  # (bk, K, D)
+        v = v_ref[0, 0].astype(jnp.float32)
+        h, d = q.shape
+        kh = k.shape[1]
+        qg = q.reshape(kh, groups, d)
+        kg = jnp.transpose(k, (1, 0, 2))  # (K, bk, D)
+        s = jax.lax.dot_general(
+            qg, kg, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (K, groups, bk)
+        s = s.reshape(h, -1) * scale  # (H, bk)
+
+        pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (h, block_k), 1)
+        ok = (pos < length) & (mask_ref[0, 0] > 0)[None, :]
+        s = jnp.where(ok, s, NEG_INF)
+
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m_prev - m_new)
+        l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=1, keepdims=True)
+        vg = jnp.transpose(v, (1, 0, 2))
+        pg = p.reshape(kh, groups, -1)
+        o = jax.lax.dot_general(
+            pg, vg, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] = acc_ref[:] * corr + o.reshape(h, d)
+        m_ref[:] = m_new
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l = l_ref[:]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        out_ref[0] = (acc_ref[:] / l_safe).astype(out_ref.dtype)
+
+
+def stacked_kernel_ok(s: int) -> bool:
+    """Mosaic requires the mask block's last dim (block_k) divisible by 128
+    (measured failure at block_k=64, S=832); callers fall back to the
+    fused-slice XLA path when no 128-multiple block divides S. Cache
+    allocations should be rounded to 256 (infer/sampler.py) so this is
+    always true in production."""
+    return _interpret() or s % 128 == 0
+
+
+def _pick_stacked_block(s: int, want: int) -> int:
+    """Largest 128-multiple divisor of s that is <= want (interpret mode
+    relaxes to small blocks for tests)."""
+    if _interpret():
+        bk = min(want, s)
+        while bk > 8 and s % bk:
+            bk //= 2
+        return max(bk, 8)
+    bk = want
+    while bk > 128 and s % bk:
+        bk //= 2
+    return bk
+
+
+def decode_attention_stacked(
+    q: jnp.ndarray,  # (B, 1, H, D) or (B, H, D)
+    ck: jnp.ndarray,  # (L, B, S, K, D) FULL stacked cache (scan carry)
+    cv: jnp.ndarray,
+    layer_idx,  # scalar int: which layer's cache to attend over
+    length,  # scalar int: valid cache positions (cache_index + 1)
+    *,
+    key_mask: Optional[jnp.ndarray] = None,  # (B, S) bool
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jnp.ndarray:
+    """Single-position attention over one layer of the FULL stacked cache.
+
+    For use inside the decoder's layer scan with the cache kept whole in the
+    carry: the layer is selected by a scalar-prefetched index in the
+    BlockSpec index_map, so the kernel DMAs only that layer's blocks.
+    XLA-slicing the layer out (`dynamic_index_in_dim`) before a pallas call
+    materializes the (B,S,K,D) slice as a COPY per layer per step — measured
+    25-32 ms/step at 7B int4 B=8 S=832 vs ~4.7 GB/step of true cache reads
+    (tools/perf_batch_step.py; same root cause as the int4 stacked-weight
+    fix in ops/int8_matmul.int4_matmul_stacked).
+
+    Blocks at ki past `length` clamp their index_map to the last valid
+    block: pallas skips the re-DMA of an unchanged block, so cost tracks
+    the *filled* cache, not the allocation.
+
+    Numerics: fp32 online softmax, identical to ops.attention (tested).
+    """
+    squeeze = q.ndim == 4
+    if squeeze:
+        assert q.shape[1] == 1
+        q = q[:, 0]
+    b, h, d = q.shape
+    s = ck.shape[2]
+    kh = ck.shape[3]
+    groups = h // kh
+    scale = float(1.0 / (d**0.5))
+
+    block_k = _pick_stacked_block(s, min(block_k, s))
+    nk = _cdiv(s, block_k)
+    if key_mask is None:
+        key_mask = jnp.ones((b, s), bool)
+    mask = key_mask.astype(jnp.int32)[:, None, :]
+
+    scalars = jnp.stack(
+        [jnp.asarray(layer_idx, jnp.int32).reshape(()),
+         jnp.asarray(length, jnp.int32).reshape(())]
+    )
+
+    def _kblock(ki, sref):
+        # clamp: steps past the filled cache revisit the last valid block
+        # (no new DMA) and are skipped by the in-kernel predicate
+        last = (sref[1] - 1) // block_k
+        return jnp.minimum(ki, last)
+
+    kernel = functools.partial(
+        _decode_stacked_kernel, scale=scale, block_k=block_k, groups=groups
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, nk),
+            in_specs=[
+                pl.BlockSpec((1, h, d), lambda b_, ki, sref: (b_, 0, 0)),
+                pl.BlockSpec(
+                    (1, 1, block_k, kh, d),
+                    lambda b_, ki, sref: (sref[0], b_, _kblock(ki, sref), 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, block_k, kh, d),
+                    lambda b_, ki, sref: (sref[0], b_, _kblock(ki, sref), 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, block_k),
+                    lambda b_, ki, sref: (b_, 0, _kblock(ki, sref)),
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, h, d), lambda b_, ki, sref: (b_, 0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((h, d), jnp.float32),
+                pltpu.VMEM((h, 1), jnp.float32),
+                pltpu.VMEM((h, 1), jnp.float32),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((b, h, d), q.dtype)],
+        interpret=_interpret(),
+    )(scalars, q, ck, cv, mask)[0]
+    return out[:, None] if squeeze else out
+
+
 def decode_attention(
     q: jnp.ndarray,  # (B, 1, H, D) or (B, H, D)
     k: jnp.ndarray,  # (B, S, K, D) cache

@@ -117,3 +117,47 @@ def test_init_shapes():
     assert params["embed"]["weight"].shape == (128, 32)
     assert params["layers"]["attn"]["wq"].shape == (2, 32, 32)
     assert params["lm_head"]["weight"].shape == (32, 128)
+
+
+def test_stacked_decode_matches_carry_modes():
+    """The decode fast path (stacked carry + scalar-prefetch layer attention,
+    cache_scan_mode='auto'/'stacked') is bit-compatible with the slower
+    'carry' and 'ys' modes, with left-pad masks and LoRA attached."""
+    from handsonvlm_tpu.models.lora import init_lora
+
+    cfg = LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=48, num_layers=3,
+        num_heads=4, num_kv_heads=2, max_position_embeddings=64,
+    )
+    params = init_llama(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    params_lora = dict(params)
+    lora = init_lora(jax.random.PRNGKey(1), cfg, r=2, alpha=4.0)
+    lora["adapters"] = jax.tree_util.tree_map(
+        lambda x: x + 0.1 if x.ndim == 3 else x, lora["adapters"]
+    )
+
+    b, t0, s_max = 2, 5, 24
+    ids = jax.random.randint(jax.random.PRNGKey(2), (b, t0), 0, 64)
+    attn = np.ones((b, s_max), bool)
+    attn[0, :2] = False  # row 0 left-padded
+    attn = jnp.asarray(attn)
+
+    for use_lora in (False, True):
+        lo = lora if use_lora else None
+        cache = KVCache.create(cfg, batch=b, max_len=s_max, dtype=jnp.float32)
+        _, cache = apply_llama(
+            params, cfg, input_ids=ids, kv_cache=cache, attn_impl="xla",
+            attn_mask=attn, lora=lo,
+        )
+        step = jax.random.randint(jax.random.PRNGKey(3), (b, 1), 0, 64)
+        outs = {}
+        for mode in ("stacked", "carry", "ys"):
+            h, c2 = apply_llama(
+                params, cfg, input_ids=step, kv_cache=cache, attn_mask=attn,
+                cache_scan_mode=mode, lora=lo,
+            )
+            outs[mode] = (np.asarray(h), np.asarray(c2.k), np.asarray(c2.v))
+        for mode in ("carry", "ys"):
+            np.testing.assert_allclose(outs["stacked"][0], outs[mode][0], atol=1e-5, rtol=1e-4)
+            np.testing.assert_allclose(outs["stacked"][1], outs[mode][1], atol=1e-6)
+            np.testing.assert_allclose(outs["stacked"][2], outs[mode][2], atol=1e-6)
