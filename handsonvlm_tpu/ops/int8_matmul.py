@@ -257,6 +257,7 @@ def init_llama_int4(rng: jax.Array, cfg, dtype=jnp.bfloat16, group: int = None) 
 INT8_IMPL = "xla"  # "xla" | "pallas" — see module docstring for numbers
 
 INT4_GROUP = 128  # contraction-group size for int4 scales
+INT4_PREFILL_MIN_M = 128  # rows at which the dequant-MXU prefill kernel wins
 
 
 def quantize_int4(w: jnp.ndarray, group: int = INT4_GROUP) -> dict:
@@ -389,6 +390,101 @@ def int4_matmul(x: jnp.ndarray, w4: jnp.ndarray, gscale: jnp.ndarray) -> jnp.nda
     return out[:m, :n].reshape(shape[:-1] + (n,)).astype(x.dtype)
 
 
+def _prefill4_kernel(xr_ref, w_ref, s_ref, o_ref, acc_ref):
+    # xr (bm, bk) bf16; w (1, GK, g/2, bn) packed int8; s (1, GK, 1, bn) f32
+    # (4D so the block's constrained last-two dims are (1, bn), not (GK, bn)
+    # — GK can be tiny for odd d like w_down's 11008).
+    # Dequantize the weight block to bf16 IN VMEM, then one full-contraction
+    # MXU dot — at prefill m the group-batched GEMV formulation (above)
+    # serializes G small (bm x g/2) dots and wastes the systolic array.
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    p = w_ref[0].astype(jnp.int32)  # (GK, g/2, bn)
+    s = s_ref[0].astype(jnp.bfloat16)  # (GK, 1, bn)
+    lo = ((p & 0x0F) - 8).astype(jnp.bfloat16) * s
+    hi = (p >> 4).astype(jnp.bfloat16) * s
+    # rows within a group are ordered [lo-half, hi-half] (quantize_int4), so
+    # concatenating on the half axis then flattening the major dims matches
+    # x's row order exactly
+    gk, half, bn = lo.shape
+    wdq = jnp.concatenate([lo, hi], axis=1).reshape(gk * 2 * half, bn)
+    acc_ref[:] += jax.lax.dot_general(
+        xr_ref[:], wdq, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ki == pl.num_programs(2) - 1)
+    def _done():
+        o_ref[:] = acc_ref[:]
+
+
+PREFILL4_BLOCK_M = 256  # tuned on-chip: (256,512) 65 ms vs (512,256) 74,
+PREFILL4_BLOCK_N = 512  # (128,512) 87, (256,256) 107 per T=512 7B prefill
+                        # (tools/perf_int4_prefill_tune.py, same-process A/B)
+
+
+def _prefill4_blocks(m: int, d: int, n: int, group: int):
+    block_m = min(PREFILL4_BLOCK_M, max(m, 8))
+    bn = PREFILL4_BLOCK_N
+    block_n = bn if n % bn == 0 else _pick_block_n(n, d // 2)
+    block_k = d if d <= 4096 else math.gcd(d, 2048)
+    while block_k > group and (d % block_k or block_k % group):
+        block_k //= 2
+    return block_m, block_n, max(block_k, group)
+
+
+def int4_matmul_prefill(
+    x: jnp.ndarray, w4_all: jnp.ndarray, gs_all: jnp.ndarray, layer_idx
+) -> jnp.ndarray:
+    """Prefill-sized x (m >= ~128, d) @ dequant(w4_all[layer_idx]): dequant
+    to bf16 in VMEM + full-contraction bf16 MXU dots (f32 accumulation,
+    scales folded into the bf16 weights — the decode kernel's exact
+    on-f32-dot-output scaling costs nothing there because its dots are
+    group-batched; here one big dot per block wants one weight matrix).
+    Same stacked scalar-prefetch layer selection as int4_matmul_stacked."""
+    shape = x.shape
+    L, G, half, n = w4_all.shape
+    group = half * 2
+    d = G * group
+    x2 = x.reshape(-1, d).astype(jnp.bfloat16)
+    m = x2.shape[0]
+    block_m, block_n, block_k = _prefill4_blocks(m, d, n, group)
+    m_pad = _cdiv(m, block_m) * block_m
+    if m_pad != m:
+        x2 = jnp.pad(x2, [(0, m_pad - m), (0, 0)])
+    gk = block_k // group
+
+    def kernel(l_ref, *refs):
+        _prefill4_kernel(*refs)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(m_pad // block_m, n // block_n, d // block_k),
+            in_specs=[
+                pl.BlockSpec((block_m, block_k), lambda i, j, ki, l: (i, ki)),
+                pl.BlockSpec(
+                    (1, gk, half, block_n), lambda i, j, ki, l: (l[0], ki, 0, j)
+                ),
+                pl.BlockSpec(
+                    (1, gk, 1, block_n), lambda i, j, ki, l: (l[0], ki, 0, j)
+                ),
+            ],
+            out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, ki, l: (i, j)),
+            scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+        interpret=_interpret(),
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), x2, w4_all,
+      gs_all[:, :, None, :])
+    return out[:m, :n].reshape(shape[:-1] + (n,)).astype(x.dtype)
+
+
 def int4_matmul_stacked(
     x: jnp.ndarray, w4_all: jnp.ndarray, gs_all: jnp.ndarray, layer_idx
 ) -> jnp.ndarray:
@@ -399,10 +495,17 @@ def int4_matmul_stacked(
     pallas operand a materialized COPY (slice-read + copy-write +
     kernel-read = 3x HBM traffic): measured 11.3 -> 7.7 ms/step for the 7B
     GEMV chain (tools/perf_int4_variants.py; raw int8 DMA is full-rate,
-    tools/perf_pallas_dma.py)."""
+    tools/perf_pallas_dma.py).
+
+    Prefill-sized inputs (m >= INT4_PREFILL_MIN_M rows) dispatch to
+    int4_matmul_prefill: dequant-to-bf16 full-contraction MXU dots beat the
+    group-batched GEMV formulation once compute (not weight streaming)
+    dominates."""
     shape = x.shape
     L, G, half, n = w4_all.shape
     d = G * half * 2
+    if shape[:-1] and int(np.prod(shape[:-1])) >= INT4_PREFILL_MIN_M:
+        return int4_matmul_prefill(x, w4_all, gs_all, layer_idx)
     x2 = x.reshape(-1, d).astype(jnp.float32)
     m = x2.shape[0]
     block_m, block_n = _pick_blocks_int4(m, G, half, n)
