@@ -95,11 +95,15 @@ def main():
             piece = tokenizer.decode([tok_id])
             print(piece, end=" ", flush=True)
 
+        # stop on the conv separator like the reference cli's
+        # KeywordsStoppingCriteria (llava/serve/cli.py, mm_utils.py:192-215)
+        stop_str = conv.sep2 if conv.sep2 else conv.sep
         out = generate_host(
             params, cfg, ids, video.astype(np.float32), step_rng,
             max_new_tokens=args.max_new_tokens,
             temperature=args.temperature, top_p=args.top_p,
             frame_map=frame_map, on_token=stream,
+            stop_strs=[stop_str] if stop_str else None, tokenizer=tokenizer,
         )
         print()
         n = int(out.num_tokens[0])

@@ -519,6 +519,8 @@ def generate_host(
     attn_mask=None,
     frame_map=None,
     on_token=None,
+    stop_strs=None,
+    tokenizer=None,
 ) -> SampleOutput:
     """Host-driven generate: jitted prefill + jitted per-token step.
 
@@ -529,6 +531,12 @@ def generate_host(
     marks valid prompt positions for LEFT-padded (bucketed) prompts, as in
     generate_chunked; `frame_map` lets callers pass unique frames only
     (see encode_video).
+
+    `stop_strs` (+ `tokenizer`) finish a row when the decoded tail of its
+    generated text contains any keyword — the reference's
+    KeywordsStoppingCriteria (llava/mm_utils.py:192-215), which chat/serve
+    use with the conv separator (e.g. '</s>'). Checked per row on the last
+    few tokens, so multi-token keywords straddling a step boundary match.
     """
     import numpy as np
 
@@ -566,6 +574,12 @@ def generate_host(
             pred_hands[i, slot] = waypoint_h[i]
             num_hands[i] += 1
         finished = finished | (tok == eos_token_id)
+        if stop_strs and tokenizer is not None:
+            for i in np.nonzero(~finished)[0]:
+                n = num_tokens[i]
+                tail = tokenizer.decode([int(t) for t in tokens[i, max(n - 4, 0):n]])
+                if any(s in tail for s in stop_strs):
+                    finished[i] = True
         if on_token is not None and not finished[0]:
             on_token(int(tok[0]))
         return tok

@@ -273,6 +273,11 @@ class ModelWorker:
                 pieces.append(tok_id)
                 q.put({"text": decode(pieces), "error_code": 0})
 
+            from handsonvlm_tpu.data.conversation import conv_templates
+
+            conv = conv_templates[self.engine.conv_mode]
+            stop_str = conv.sep2 if conv.sep2 else conv.sep
+
             def run():
                 try:
                     out = generate_host(
@@ -282,6 +287,8 @@ class ModelWorker:
                         temperature=self.engine.temperature,
                         top_p=self.engine.top_p, attn_mask=attn,
                         on_token=on_token,
+                        stop_strs=[stop_str] if stop_str else None,
+                        tokenizer=self.engine.tokenizer,
                     )
                     pred, valid = clip_pred_hands(
                         np.asarray(out.pred_hands), np.asarray(out.num_hands)
