@@ -485,7 +485,98 @@ def int4_matmul_prefill(
     return out[:m, :n].reshape(shape[:-1] + (n,)).astype(x.dtype)
 
 
-def int4_matmul_stacked(
+def _prefill4t_kernel(dy_ref, w_ref, s_ref, o_ref, acc_ref):
+    # Transpose product for the VJP: dx_block (bm, bd) += dy (bm, bn) @
+    # dequant(w)^T. Same VMEM dequant as _prefill4_kernel; the dot
+    # contracts both operands' minor dim (rhs-transposed MXU form).
+    ni = pl.program_id(2)
+
+    @pl.when(ni == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    p = w_ref[0].astype(jnp.int32)  # (GK, g/2, bn)
+    s = s_ref[0].astype(jnp.bfloat16)  # (GK, 1, bn)
+    lo = ((p & 0x0F) - 8).astype(jnp.bfloat16) * s
+    hi = (p >> 4).astype(jnp.bfloat16) * s
+    gk, half, bn = lo.shape
+    wdq = jnp.concatenate([lo, hi], axis=1).reshape(gk * 2 * half, bn)  # (bd, bn)
+    acc_ref[:] += jax.lax.dot_general(
+        dy_ref[:], wdq, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ni == pl.num_programs(2) - 1)
+    def _done():
+        o_ref[:] = acc_ref[:]
+
+
+def _pick_div(total: int, candidates, fallback: int) -> int:
+    for c in candidates:
+        if total % c == 0:
+            return c
+    return fallback
+
+
+def int4_matmul_stacked_T(
+    dy: jnp.ndarray, w4_all: jnp.ndarray, gs_all: jnp.ndarray, layer_idx
+) -> jnp.ndarray:
+    """dy (..., n) @ dequant(w4_all[layer_idx])^T -> (..., d): the VJP of
+    int4_matmul_stacked w.r.t. its input (QLoRA: gradients flow THROUGH the
+    frozen int4 projections to earlier layers and the LoRA adapters, which
+    is all a frozen-base fine-tune needs — no weight gradients)."""
+    shape = dy.shape
+    L, G, half, n = w4_all.shape
+    group = half * 2
+    d = G * group
+    dy2 = dy.reshape(-1, n).astype(jnp.bfloat16)
+    m = dy2.shape[0]
+    block_m = min(256, max(m, 8))
+    bd = _pick_div(d, (512, 256, 128), d)
+    if bd % group or d % bd:
+        bd = d
+    bn = _pick_div(n, (512, 256, 128), n)
+    gk = bd // group
+    m_pad = _cdiv(m, block_m) * block_m
+    if m_pad != m:
+        dy2 = jnp.pad(dy2, [(0, m_pad - m), (0, 0)])
+
+    def kernel(l_ref, *refs):
+        _prefill4t_kernel(*refs)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(m_pad // block_m, d // bd, n // bn),
+            in_specs=[
+                pl.BlockSpec((block_m, bn), lambda i, di, ni, l: (i, ni)),
+                pl.BlockSpec(
+                    (1, gk, half, bn), lambda i, di, ni, l: (l[0], di, 0, ni)
+                ),
+                pl.BlockSpec(
+                    (1, gk, 1, bn), lambda i, di, ni, l: (l[0], di, 0, ni)
+                ),
+            ],
+            out_specs=pl.BlockSpec((block_m, bd), lambda i, di, ni, l: (i, di)),
+            scratch_shapes=[pltpu.VMEM((block_m, bd), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((m_pad, d), jnp.float32),
+        interpret=_interpret(),
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), dy2, w4_all,
+      gs_all[:, :, None, :])
+    return out[:m, :d].reshape(shape[:-1] + (d,)).astype(dy.dtype)
+
+
+def _zero_ct(x):
+    """Cotangent for a frozen quantized leaf: float0 for int dtypes (JAX's
+    cotangent type for non-differentiable primals), zeros otherwise."""
+    if jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact):
+        return jnp.zeros_like(x)
+    return np.zeros(jnp.shape(x), jax.dtypes.float0)
+
+
+def _int4_matmul_stacked_impl(
     x: jnp.ndarray, w4_all: jnp.ndarray, gs_all: jnp.ndarray, layer_idx
 ) -> jnp.ndarray:
     """x (..., d) @ dequant(w4_all (L, G, g/2, n)[layer_idx]) — for use
@@ -535,6 +626,30 @@ def int4_matmul_stacked(
         interpret=_interpret(),
     )(jnp.asarray(layer_idx, jnp.int32).reshape(1), xlo, xc, sx8, w4_all, gs_all)
     return out[:m, :n].reshape(shape[:-1] + (n,)).astype(x.dtype)
+
+
+@jax.custom_vjp
+def int4_matmul_stacked(x, w4_all, gs_all, layer_idx):
+    """Differentiable front for _int4_matmul_stacked_impl: pallas calls have
+    no automatic VJP, so QLoRA training (frozen int4 base + LoRA) defines
+    d/dx = dy @ W^T via int4_matmul_stacked_T; the quantized leaves and the
+    layer index get zero/float0 cotangents (they are frozen by construction
+    — int4 weights are not meaningfully trainable)."""
+    return _int4_matmul_stacked_impl(x, w4_all, gs_all, layer_idx)
+
+
+def _int4_stacked_fwd(x, w4_all, gs_all, layer_idx):
+    out = _int4_matmul_stacked_impl(x, w4_all, gs_all, layer_idx)
+    return out, (w4_all, gs_all, layer_idx, jnp.zeros((0,), x.dtype))
+
+
+def _int4_stacked_bwd(res, dy):
+    w4_all, gs_all, layer_idx, xdt = res
+    dx = int4_matmul_stacked_T(dy, w4_all, gs_all, layer_idx).astype(xdt.dtype)
+    return dx, _zero_ct(w4_all), _zero_ct(gs_all), _zero_ct(layer_idx)
+
+
+int4_matmul_stacked.defvjp(_int4_stacked_fwd, _int4_stacked_bwd)
 
 
 def quantize_llama_int4(llama_params: dict, group: int = INT4_GROUP) -> dict:

@@ -47,18 +47,41 @@ def loss_fn(params, cfg: HandsOnVLMConfig, batch: Dict[str, jnp.ndarray], rng, a
     return out["loss"], metrics
 
 
+def _apply_updates(params, updates):
+    """optax.apply_updates that leaves float0-update leaves untouched —
+    QLoRA's frozen int8-packed decoder leaves have float0 cotangents, and
+    float0 supports no arithmetic by design."""
+    return jax.tree_util.tree_map(
+        lambda p, u: p if getattr(u, 'dtype', None) == jax.dtypes.float0
+        else (p + u).astype(jnp.asarray(p).dtype),
+        params, updates,
+    )
+
+
+def _grad_norm(grads):
+    """optax.global_norm over the real-valued leaves only."""
+    leaves = [
+        g for g in jax.tree_util.tree_leaves(grads)
+        if getattr(g, 'dtype', None) != jax.dtypes.float0
+    ]
+    return optax.global_norm(leaves)
+
+
 def make_train_step(cfg: HandsOnVLMConfig, tx: optax.GradientTransformation, attn_impl: str = "auto"):
     """Returns jitted (state, batch, rng) -> (state, metrics)."""
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         step_rng = jax.random.fold_in(rng, state.step)
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, cfg, batch, step_rng, attn_impl
-        )
+        # allow_int: QLoRA params contain frozen int8-packed decoder leaves
+        # whose cotangents are float0 (ops/int8_matmul custom VJPs);
+        # optax.set_to_zero + apply_updates pass them through untouched
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True, allow_int=True
+        )(state.params, cfg, batch, step_rng, attn_impl)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        new_params = _apply_updates(state.params, updates)
+        metrics["grad_norm"] = _grad_norm(grads)
         new_state = TrainState(
             step=state.step + 1, params=new_params, opt_state=new_opt
         )

@@ -36,6 +36,11 @@ def main():
     p.add_argument("--lora-r", type=int, default=0,
                    help="enable LoRA with this rank (reference: 128)")
     p.add_argument("--lora-alpha", type=float, default=256.0)
+    p.add_argument("--qlora", choices=["int8", "int4"], default=None,
+                   help="quantize the frozen decoder base (requires --lora-r): "
+                        "int4 fits a 7B QLoRA fine-tune on one 16 GB chip "
+                        "(gradients flow through the quantized projections "
+                        "via ops/int8_matmul custom VJPs)")
     p.add_argument("--tune-mm-mlp-adapter", action="store_true",
                    help="train only the mm_projector and save adapter-only "
                         "checkpoints (reference train.py:104-122 "
@@ -87,7 +92,11 @@ def main():
     mesh = create_mesh(model=args.model_axis)
     print(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} devices")
 
-    params, cfg, tokenizer = load_pretrained_model(args.model_path, args.preset)
+    if args.qlora and not args.lora_r:
+        raise SystemExit("--qlora requires --lora-r (the base is frozen)")
+    params, cfg, tokenizer = load_pretrained_model(
+        args.model_path, args.preset, quantize=args.qlora
+    )
     freeze = ("vision",)
     if args.lora_r:
         from handsonvlm_tpu.models.lora import init_lora
@@ -111,7 +120,8 @@ def main():
         if args.lora_r:
             save_artifact(out_dir, "lora", params["lora"],
                           meta={"base": args.model_path, "preset": args.preset,
-                                "r": args.lora_r, "alpha": args.lora_alpha})
+                                "r": args.lora_r, "alpha": args.lora_alpha,
+                                "qlora": args.qlora})
             save_artifact(out_dir, "non_lora_trainables",
                           {"projector": params["projector"], "traj": params["traj"]})
 

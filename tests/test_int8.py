@@ -151,3 +151,47 @@ def test_int4_prefill_kernel_accuracy():
             got = np.asarray(int4_matmul_prefill(jnp.asarray(x), w4_all, gs_all, layer))
             rel = np.abs(got - ref).mean() / (np.abs(ref).mean() + 1e-8)
             assert rel < 6e-3, (m, layer, rel)
+
+
+def test_int4_stacked_custom_vjp():
+    """QLoRA backward: d/dx of int4_matmul_stacked is dy @ dequant(W)^T
+    (int4_matmul_stacked_T kernel); quantized leaves get zero/float0
+    cotangents so a frozen int4 base never blocks jax.grad."""
+    import jax
+
+    from handsonvlm_tpu.ops.int8_matmul import (
+        _unpack_int4, int4_matmul_stacked, quantize_int4,
+    )
+
+    rng = np.random.default_rng(2)
+    L, d, n = 2, 256, 384
+    qs, exact = [], []
+    for _ in range(L):
+        w = rng.standard_normal((d, n)).astype(np.float32) * 0.05
+        q = quantize_int4(jnp.asarray(w))
+        qs.append(q)
+        wdq = np.asarray(_unpack_int4(q["w4"], jnp.float32))
+        exact.append((wdq * np.asarray(q["gscale"])[:, None, :]).reshape(d, n))
+    w4_all = jnp.stack([q["w4"] for q in qs])
+    gs_all = jnp.stack([q["gscale"] for q in qs])
+
+    for m in (4, 200):  # GEMV and prefill forward dispatches share the VJP
+        x = jnp.asarray(rng.standard_normal((m, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+        for layer in (0, 1):
+            g = jax.grad(
+                lambda x_: (int4_matmul_stacked(x_, w4_all, gs_all, layer) * v).sum()
+            )(x)
+            ref = np.asarray(v) @ exact[layer].T
+            rel = np.abs(np.asarray(g) - ref).mean() / np.abs(ref).mean()
+            assert rel < 1e-2, (m, layer, rel)
+
+    # grads flow through a composition and quantized leaves stay frozen
+    def loss(x_, w4_, gs_):
+        y = int4_matmul_stacked(x_, w4_, gs_, 0)
+        return (y**2).sum()
+
+    x = jnp.asarray(rng.standard_normal((4, d)), jnp.float32)
+    gx, ggs = jax.grad(loss, argnums=(0, 2))(x, w4_all, gs_all)
+    assert gx.shape == x.shape and float(jnp.abs(gx).sum()) > 0
+    assert float(jnp.abs(ggs).sum()) == 0.0

@@ -101,3 +101,41 @@ def test_cosine_schedule():
     assert float(sched(30)) == np.float32(2e-5)
     assert float(sched(1000)) < 1e-7
     assert 0 < float(sched(500)) < 2e-5
+
+
+def test_qlora_int4_step():
+    """QLoRA: frozen int4 decoder base + trainable LoRA adapters. Gradients
+    flow through the quantized projections (custom VJP in ops/int8_matmul);
+    loss decreases, the quantized base and its scales stay bit-identical,
+    and the adapters move."""
+    from handsonvlm_tpu.infer.builder import load_pretrained_model
+    from handsonvlm_tpu.models.lora import init_lora
+
+    params, cfg, _ = load_pretrained_model("random:tiny", "tiny", quantize="int4")
+    params["lora"] = init_lora(jax.random.PRNGKey(3), cfg.llama, r=2, alpha=4.0)
+    int4_before = jax.tree_util.tree_map(
+        lambda x: np.asarray(x), params["llama"]["layers"]["int4"]
+    )
+    lora_b_before = np.asarray(params["lora"]["adapters"]["wq"]["b"])
+
+    tx = make_optimizer(
+        learning_rate=5e-3, params_template=params,
+        freeze_top_keys=("vision", "llama"),
+    )
+    state = create_train_state(params, tx)
+    step = make_train_step(cfg, tx, attn_impl="xla")
+    batch = _batch()
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(5):
+        state, metrics = step(state, batch, rng)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all(), losses
+    assert losses[-1] < losses[0], losses
+    for a, b in zip(
+        jax.tree_util.tree_leaves(int4_before),
+        jax.tree_util.tree_leaves(state.params["llama"]["layers"]["int4"]),
+    ):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    assert np.abs(np.asarray(state.params["lora"]["adapters"]["wq"]["b"])
+                  - lora_b_before).max() > 0
