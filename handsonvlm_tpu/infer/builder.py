@@ -100,7 +100,37 @@ def load_pretrained_model(
         return params
 
     if model_path.startswith("random:"):
-        params = init_handsonvlm(jax.random.PRNGKey(0), cfg)
+        if quantize in ("int8", "int4"):
+            # direct quantized init: quantizing a materialized bf16 7B/13B
+            # tree OOMs the 16 GB chip because freed Python-level device
+            # buffers never return to the allocator pool (CLAUDE.md);
+            # bench.py uses the same recipe
+            from handsonvlm_tpu.models.clip_vit import init_clip_vision
+            from handsonvlm_tpu.models.projector import init_projector
+            from handsonvlm_tpu.models.traj_cvae import init_traj_decoder
+            from handsonvlm_tpu.ops.int8_matmul import (
+                init_llama_int4,
+                init_llama_int8,
+            )
+
+            init_q = init_llama_int4 if quantize == "int4" else init_llama_int8
+            k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 4)
+            d = cfg.llama.hidden_size
+            params = {
+                "llama": init_q(k1, cfg.llama, cfg.pdtype),
+                "vision": jax.jit(
+                    lambda k: init_clip_vision(k, cfg.vision, cfg.pdtype)
+                )(k2),
+                "projector": jax.jit(
+                    lambda k: init_projector(k, cfg.mm_hidden_size, d, cfg.pdtype)
+                )(k3),
+                "traj": jax.jit(
+                    lambda k: init_traj_decoder(k, cfg.traj, d // 2, cfg.pdtype)
+                )(k4),
+            }
+            return params, cfg, tokenizer
+        # jitted init: one program, no fp32 temporaries fragmenting the heap
+        params = jax.jit(lambda k: init_handsonvlm(k, cfg))(jax.random.PRNGKey(0))
         return _maybe_quantize(params), cfg, tokenizer
 
     if os.path.isdir(model_path) and (

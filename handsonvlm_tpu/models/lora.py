@@ -58,11 +58,15 @@ def init_lora(
 
 
 def lora_delta(lora_layer: Optional[Dict], name: str, x: jnp.ndarray, scale: float) -> jnp.ndarray:
-    """Low-rank activation path: (x @ A) @ B * (alpha/r); 0 if untargeted."""
+    """Low-rank activation path: (x @ A) @ B * (alpha/r); 0 if untargeted.
+
+    The delta is computed in the adapter dtype (f32 during training) and
+    cast back to the activation dtype — f32 adapters must not promote the
+    bf16 residual stream (the decoder scan carry is dtype-strict)."""
     if lora_layer is None or name not in lora_layer:
         return 0.0
     ad = lora_layer[name]
-    return ((x @ ad["a"]) @ ad["b"]) * scale
+    return (((x @ ad["a"]) @ ad["b"]) * scale).astype(x.dtype)
 
 
 def merge_lora(llama_params: Dict, lora: Dict) -> Dict:

@@ -53,7 +53,8 @@ def test_mm_projector_adapter_load(tmp_path):
     params, cfg, _ = load_pretrained_model(str(tmp_path), "tiny")
     # projector comes from the artifact, the rest from the base init
     _tree_equal(params["projector"], trained["projector"])
-    base = init_handsonvlm(jax.random.PRNGKey(0), CFG)
+    # builder inits under jit (7B heap hygiene) — match its rounding
+    base = jax.jit(lambda k: init_handsonvlm(k, CFG))(jax.random.PRNGKey(0))
     _tree_equal(params["llama"]["embed"], base["llama"]["embed"])
 
 
