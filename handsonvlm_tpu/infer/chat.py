@@ -28,6 +28,10 @@ def main():
     p.add_argument("--max-new-tokens", type=int, default=100)
     p.add_argument("--int8", action="store_true", help="int8 weight-only decoder")
     p.add_argument("--int4", action="store_true", help="int4 (group-128) weight-only decoder")
+    p.add_argument("--spec", type=int, default=0, metavar="K",
+                   help="speculative decode with K-token n-gram drafts over "
+                        "a template bank + history (infer/speculative.py; "
+                        "exact sampling semantics, no streaming)")
     args = p.parse_args()
 
     import jax
@@ -98,13 +102,29 @@ def main():
         # stop on the conv separator like the reference cli's
         # KeywordsStoppingCriteria (llava/serve/cli.py, mm_utils.py:192-215)
         stop_str = conv.sep2 if conv.sep2 else conv.sep
-        out = generate_host(
-            params, cfg, ids, video.astype(np.float32), step_rng,
-            max_new_tokens=args.max_new_tokens,
-            temperature=args.temperature, top_p=args.top_p,
-            frame_map=frame_map, on_token=stream,
-            stop_strs=[stop_str] if stop_str else None, tokenizer=tokenizer,
-        )
+        if args.spec:
+            from handsonvlm_tpu.infer.speculative import (
+                build_template_bank, generate_spec,
+            )
+
+            out, stats = generate_spec(
+                params, cfg, ids, video.astype(np.float32), step_rng,
+                max_new_tokens=args.max_new_tokens, k=args.spec,
+                temperature=args.temperature, top_p=args.top_p,
+                frame_map=frame_map,
+                bank_ids=build_template_bank(tokenizer, cfg, (user_input,)),
+            )
+            n0 = int(out.num_tokens[0])
+            print(tokenizer.decode(np.asarray(out.sequences[0, :n0])),
+                  f"  [{stats['tokens']} tok / {stats['iters']} fwd]")
+        else:
+            out = generate_host(
+                params, cfg, ids, video.astype(np.float32), step_rng,
+                max_new_tokens=args.max_new_tokens,
+                temperature=args.temperature, top_p=args.top_p,
+                frame_map=frame_map, on_token=stream,
+                stop_strs=[stop_str] if stop_str else None, tokenizer=tokenizer,
+            )
         print()
         n = int(out.num_tokens[0])
         text = tokenizer.decode(np.asarray(out.sequences[0, :n]))

@@ -1,0 +1,389 @@
+"""N-gram speculative decoding (prompt/history/bank lookup, B=1 latency mode).
+
+Decode cost at int4 7B is weight streaming (~8 ms of a ~10 ms step), paid
+once per token in the sequential loop. Speculation amortizes it: draft K
+candidate tokens from an n-gram match over (template bank + prompt +
+generated-so-far), run ONE cached forward over K+1 positions (same weight
+traffic as a single-token step), and accept a prefix via rejection
+sampling, emitting 1..K+1 tokens per forward.
+
+Correctness:
+- Rejection sampling against the warped (temperature + top-p) distribution
+  preserves the target sampling distribution exactly for a deterministic
+  (point-mass) draft: accept d with prob p(d), else resample from p
+  restricted to tokens != d. Greedy (temperature<=0) degenerates to
+  accept-iff-argmax, making speculative output IDENTICAL to sequential
+  greedy decode (tested).
+- Acceptance truncates at the first emitted <hand_traj> or EOS: positions
+  AFTER a hand token need the CVAE waypoint coordinate added to their
+  input embedding (models/handsonvlm.py:embed_next_token), which a plain
+  token draft cannot provide. Cache rows written beyond the accepted
+  prefix are stale but never read (attention masks by the rewound index)
+  and are overwritten by the next forward.
+- The reference has no speculative path (it re-encodes the full prefix per
+  token, handsonvlm.py:543-647); this is a TPU-native extension with exact
+  sampling semantics.
+
+Drafting: latest bigram match. The optional `bank_ids` (e.g. tokenized
+answer templates from handsonvlm/constants.py — the model was TRAINED to
+emit these template sentences) is prepended to the search buffer so even
+the first generation of a template sentence finds long drafts.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from handsonvlm_tpu.core.config import HandsOnVLMConfig
+from handsonvlm_tpu.models.handsonvlm import (
+    decode_hand_waypoint,
+    embed_next_token,
+)
+from handsonvlm_tpu.models.llama import KVCache, apply_llama, lm_logits
+from handsonvlm_tpu.infer.sampler import (
+    EOS_TOKEN_ID,
+    MAX_HAND_STEPS,
+    PAD_TOKEN_ID,
+    SampleOutput,
+    _first_token,
+    _prefill_jit,
+    _round_cache_len,
+    _warp_logits,
+)
+
+
+def ngram_draft(
+    buf: jnp.ndarray,  # (L,) int32 search buffer (bank + prompt + generated)
+    buf_len,  # scalar int32: filled length
+    t_prev,
+    t_cur,  # the current bigram context
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Latest i with buf[i:i+2] == (t_prev, t_cur) and room after it;
+    returns (draft = buf[i+2 : i+2+k] (k,), found). Unfilled/overrun slots
+    draft PAD (naturally rejected)."""
+    L = buf.shape[0]
+    idx = jnp.arange(L)
+    nxt = jnp.roll(buf, -1)
+    hit = (buf == t_prev) & (nxt == t_cur) & ((idx + 2) < buf_len)
+    found = hit.any()
+    latest = jnp.where(found, L - 1 - jnp.argmax(jnp.flip(hit)), 0)
+    start = latest + 2
+    pos = start + jnp.arange(k)
+    draft = jnp.where(pos < buf_len, buf[jnp.clip(pos, 0, L - 1)], PAD_TOKEN_ID)
+    return jnp.where(found, draft, PAD_TOKEN_ID), found
+
+
+def spec_verify(
+    rng: jax.Array,
+    logits: jnp.ndarray,  # (k+1, V) raw logits for positions 0..k
+    draft: jnp.ndarray,  # (k,) drafted tokens entering positions 1..k
+    temperature: float,
+    top_p: float,
+    hand_token_id: int,
+    eos_token_id: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (emitted (k+1,), n_emit). emitted[:n_emit] are the tokens
+    produced by this forward (garbage beyond); n_emit in 1..k+1.
+
+    Position i's logits sample the token entering position i+1. Draft d_i
+    is accepted with prob p_i(d_i) (1 iff argmax for greedy); the first
+    rejection resamples from p_i excluding d_i; full acceptance appends a
+    bonus token from position k. Emission then truncates after the first
+    <hand_traj>/EOS (see module docstring)."""
+    k = draft.shape[0]
+    if temperature <= 0.0:
+        target = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (k+1,)
+        accept = target[:k] == draft
+        fallback = target[:k]
+        bonus = target[k]
+    else:
+        warped = _warp_logits(logits, temperature, top_p)  # (k+1, V) -inf tails
+        probs = jax.nn.softmax(warped, axis=-1)
+        rngs = jax.random.split(rng, 2 * k + 1)
+        u = jax.vmap(jax.random.uniform)(rngs[:k])  # (k,)
+        p_draft = jnp.take_along_axis(probs[:k], draft[:, None], axis=1)[:, 0]
+        accept = u < p_draft
+        masked = jnp.where(
+            jax.nn.one_hot(draft, logits.shape[-1], dtype=bool), -jnp.inf, warped[:k]
+        )
+        fallback = jax.vmap(jax.random.categorical)(rngs[k : 2 * k], masked)
+        fallback = fallback.astype(jnp.int32)
+        bonus = jax.random.categorical(rngs[2 * k], warped[k]).astype(jnp.int32)
+
+    acc_prefix = jnp.cumprod(accept.astype(jnp.int32)) == 1  # (k,) all accepted so far
+    j = jnp.sum(acc_prefix)  # first reject index; k if none
+    slot = jnp.arange(k + 1)
+    emitted = jnp.where(
+        slot < j,
+        jnp.concatenate([draft, jnp.zeros((1,), draft.dtype)]),
+        jnp.where(
+            slot == j,
+            jnp.concatenate([jnp.where(acc_prefix, 0, fallback), bonus[None]])[
+                jnp.clip(j, 0, k)
+            ],
+            0,
+        ),
+    ).astype(jnp.int32)
+    n_raw = j + 1
+    stop = (emitted == hand_token_id) | (emitted == eos_token_id)
+    stop = stop & (slot < n_raw)
+    first_stop = jnp.where(stop.any(), jnp.argmax(stop), n_raw)
+    n_emit = jnp.minimum(n_raw, first_stop + 1)
+    return emitted, n_emit
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "k", "iters", "temperature", "top_p", "eos_token_id",
+        "attn_impl", "max_new_tokens",
+    ),
+)
+def spec_chunk(
+    params,
+    cfg: HandsOnVLMConfig,
+    cache: KVCache,
+    cache_mask: jnp.ndarray,
+    state: dict,
+    rng: jax.Array,
+    *,
+    k: int,
+    iters: int,
+    max_new_tokens: int,
+    temperature: float,
+    top_p: float,
+    eos_token_id: int,
+    attn_impl: str,
+):
+    """`iters` speculative forwards in one dispatch (fori_loop), each
+    emitting 1..k+1 tokens. B=1."""
+    embed_table = params["llama"]["embed"]["weight"]
+
+    def body(_, carry):
+        # finished iterations skip the whole forward via lax.cond — a chunk
+        # that overshoots EOS costs dispatch only, not 7B weight streams
+        return jax.lax.cond(carry[1]["finished"], lambda c: c, _active_body, carry)
+
+    def _active_body(carry):
+        cache, state, rng = carry
+        rng, r_v, r_w = jax.random.split(rng, 3)
+        draft, found = ngram_draft(
+            state["buf"], state["buf_len"], state["prev_tok"], state["cur_tok"], k
+        )
+        e0 = embed_next_token(
+            params, cfg, state["cur_tok"][None], state["cur_wp"][None]
+        )  # (1, D)
+        embs = jnp.concatenate([e0, embed_table[draft]], axis=0)[None]  # (1,k+1,D)
+        hidden, cache2 = apply_llama(
+            params["llama"], cfg.llama, inputs_embeds=embs,
+            attn_mask=cache_mask, kv_cache=cache, attn_impl=attn_impl,
+            lora=params.get("lora"),
+        )
+        logits = lm_logits(params["llama"], cfg.llama, hidden)[0]  # (k+1, V)
+        emitted, n_emit = spec_verify(
+            r_v, logits.astype(jnp.float32), draft, temperature, top_p,
+            cfg.hand_token_id, eos_token_id,
+        )
+        wps = jax.vmap(
+            lambda h, r: decode_hand_waypoint(params, cfg, h[None], r)[0]
+        )(hidden[0], jax.random.split(r_w, k + 1)).astype(jnp.float32)  # (k+1,2,2)
+
+        fin = state["finished"]
+        n_eff = jnp.where(fin, 0, n_emit)
+
+        tokens = jax.lax.dynamic_update_slice(
+            state["tokens"], emitted, (state["n_tokens"],)
+        )
+        wps_acc = jax.lax.dynamic_update_slice(
+            state["wps"], wps, (state["n_tokens"], 0, 0)
+        )
+        buf = jax.lax.dynamic_update_slice(state["buf"], emitted, (state["buf_len"],))
+
+        # hand bookkeeping: scatter waypoints of emitted hand tokens
+        pred_hands, num_hands = state["pred_hands"], state["num_hands"]
+        for i in range(k + 1):
+            is_hand = (emitted[i] == cfg.hand_token_id) & (i < n_eff)
+            slot = jnp.clip(num_hands, 0, MAX_HAND_STEPS - 1)
+            pred_hands = jnp.where(
+                is_hand, pred_hands.at[slot].set(wps[i]), pred_hands
+            )
+            num_hands = num_hands + is_hand.astype(jnp.int32)
+
+        last = jnp.clip(n_eff - 1, 0, k)
+        new_cur = jnp.where(fin, state["cur_tok"], emitted[last])
+        new_prev = jnp.where(
+            fin,
+            state["prev_tok"],
+            jnp.where(n_eff >= 2, emitted[jnp.clip(n_eff - 2, 0, k)], state["cur_tok"]),
+        )
+        new_wp = jnp.where(fin, state["cur_wp"], wps[last])
+        hit_eos = ((emitted == eos_token_id) & (jnp.arange(k + 1) < n_eff)).any()
+        n_tokens = state["n_tokens"] + n_eff
+        finished = fin | hit_eos | (n_tokens >= max_new_tokens)
+
+        cache = KVCache(
+            k=cache2.k, v=cache2.v, index=cache.index + n_eff
+        )
+        new_state = dict(
+            state,
+            buf=buf, buf_len=state["buf_len"] + n_eff,
+            prev_tok=new_prev, cur_tok=new_cur, cur_wp=new_wp,
+            tokens=tokens, wps=wps_acc, n_tokens=n_tokens,
+            pred_hands=pred_hands, num_hands=num_hands, finished=finished,
+            iters=state["iters"] + jnp.where(fin, 0, 1),
+            drafts_found=state["drafts_found"] + jnp.where(fin | ~found, 0, 1),
+        )
+        return cache, new_state, rng
+
+    cache, state, rng = jax.lax.fori_loop(0, iters, body, (cache, state, rng))
+    return cache, state, rng
+
+
+def generate_spec(
+    params,
+    cfg: HandsOnVLMConfig,
+    input_ids,  # (1, T) with IMAGE sentinel
+    images,
+    rng: jax.Array,
+    *,
+    max_new_tokens: int = 100,
+    k: int = 4,
+    chunk_iters: int = 8,
+    temperature: float = 0.5,
+    top_p: float = 0.9,
+    eos_token_id: int = EOS_TOKEN_ID,
+    attn_impl: str = "auto",
+    frame_map=None,
+    bank_ids: Optional[jnp.ndarray] = None,  # (N,) template-bank tokens
+    max_len: int = 0,
+):
+    """Speculative generate, B=1. Returns (SampleOutput, stats dict with
+    'iters' forwards and 'drafts_found'). Sampling distribution matches
+    generate/generate_chunked exactly (greedy: token-identical)."""
+    import numpy as np
+
+    input_ids = jnp.asarray(input_ids)
+    assert input_ids.shape[0] == 1, "speculative decode is the B=1 latency mode"
+    t_prompt = input_ids.shape[1] + cfg.num_visual_tokens - 1
+    if max_len == 0:
+        max_len = _round_cache_len(t_prompt + max_new_tokens + k + 2)
+
+    last_hidden, cache, cache_mask = _prefill_jit(
+        params, cfg, input_ids, jnp.asarray(images), max_len, attn_impl,
+        None, None if frame_map is None else jnp.asarray(frame_map),
+    )
+    rng, r0 = jax.random.split(rng)
+    token, waypoint = _first_token(
+        params, cfg, last_hidden, r0, temperature=temperature, top_p=top_p
+    )
+    tok0 = jnp.asarray(token[0], jnp.int32)
+    wp0 = waypoint[0].astype(jnp.float32)
+
+    prompt_row = jnp.where(input_ids[0] < 0, PAD_TOKEN_ID, input_ids[0]).astype(jnp.int32)
+    bank = (
+        jnp.asarray(bank_ids, jnp.int32)
+        if bank_ids is not None else jnp.zeros((0,), jnp.int32)
+    )
+    buf_cap = int(bank.shape[0] + prompt_row.shape[0] + max_new_tokens + k + 2)
+    buf = jnp.zeros((buf_cap,), jnp.int32)
+    buf = buf.at[: bank.shape[0]].set(bank)
+    buf = buf.at[bank.shape[0] : bank.shape[0] + prompt_row.shape[0]].set(prompt_row)
+    buf_len0 = bank.shape[0] + prompt_row.shape[0]
+
+    # record the first token (sampled from prefill) like the other loops
+    acc_cap = max_new_tokens + k + 1
+    state = {
+        "buf": jax.lax.dynamic_update_slice(buf, tok0[None], (buf_len0,)),
+        "buf_len": jnp.asarray(buf_len0 + 1, jnp.int32),
+        "prev_tok": prompt_row[-1],
+        "cur_tok": tok0,
+        "cur_wp": wp0,
+        "tokens": jnp.zeros((acc_cap,), jnp.int32).at[0].set(tok0),
+        "wps": jnp.zeros((acc_cap, 2, 2), jnp.float32).at[0].set(wp0),
+        "n_tokens": jnp.asarray(1, jnp.int32),
+        "pred_hands": jnp.zeros((MAX_HAND_STEPS, 2, 2), jnp.float32),
+        "num_hands": jnp.asarray(0, jnp.int32),
+        "finished": jnp.asarray(False),
+        "iters": jnp.asarray(0, jnp.int32),
+        "drafts_found": jnp.asarray(0, jnp.int32),
+    }
+    is_hand0 = tok0 == cfg.hand_token_id
+    state["pred_hands"] = jnp.where(
+        is_hand0, state["pred_hands"].at[0].set(wp0), state["pred_hands"]
+    )
+    state["num_hands"] = state["num_hands"] + is_hand0.astype(jnp.int32)
+    state["finished"] = tok0 == eos_token_id
+
+    while True:
+        rng, r_chunk = jax.random.split(rng)
+        cache, state, _ = spec_chunk(
+            params, cfg, cache, cache_mask, state, r_chunk,
+            k=k, iters=chunk_iters, max_new_tokens=max_new_tokens,
+            temperature=temperature, top_p=top_p,
+            eos_token_id=eos_token_id, attn_impl=attn_impl,
+        )
+        if bool(jax.device_get(state["finished"])):
+            break
+        if int(jax.device_get(state["n_tokens"])) >= max_new_tokens:
+            break
+
+    n = int(jax.device_get(state["n_tokens"]))
+    n = min(n, max_new_tokens)
+    tokens = np.asarray(jax.device_get(state["tokens"]))[:max_new_tokens]
+    # EOS truncation: tokens after the first EOS are garbage slots
+    seq = np.full((1, max_new_tokens), PAD_TOKEN_ID, np.int32)
+    seq[0, :n] = tokens[:n]
+    eos_pos = np.nonzero(seq[0] == eos_token_id)[0]
+    if eos_pos.size:
+        n = min(n, int(eos_pos[0]) + 1)
+        seq[0, n:] = PAD_TOKEN_ID
+    out = SampleOutput(
+        sequences=jnp.asarray(seq),
+        num_tokens=jnp.asarray([n], jnp.int32),
+        pred_hands=jnp.asarray(
+            np.asarray(jax.device_get(state["pred_hands"]))[None].transpose(0, 2, 1, 3)
+        ),
+        num_hands=jnp.asarray([int(jax.device_get(state["num_hands"]))], jnp.int32),
+    )
+    stats = {
+        "iters": int(jax.device_get(state["iters"])),
+        "drafts_found": int(jax.device_get(state["drafts_found"])),
+        "tokens": n,
+    }
+    return out, stats
+
+
+def build_template_bank(tokenizer, cfg: HandsOnVLMConfig, narrations=()) -> "jnp.ndarray":
+    """Tokenize the EK answer templates (handsonvlm/constants.py — the SFT
+    answers are drawn from exactly these strings, epic_dataset.py:67,134)
+    into one draft-search buffer. `narrations` optionally adds
+    action-specific fills ("reach for the cup"). Templates are joined with
+    EOS so bigrams never straddle two templates usefully."""
+    import numpy as np
+
+    from handsonvlm_tpu.constants import (
+        ACTION_ANSWER_TEMPLATES,
+        GENERAL_ANSWER_TEMPLATES,
+        GENERAL_TRAJECTORY_ANSWER_TEMPLATES,
+        HAND_TOKEN_TEMPLATE,
+    )
+    from handsonvlm_tpu.data.tokenization import tokenizer_image_token
+
+    hand4 = " ".join([HAND_TOKEN_TEMPLATE] * 4)
+    texts = []
+    for t in GENERAL_TRAJECTORY_ANSWER_TEMPLATES + GENERAL_ANSWER_TEMPLATES:
+        texts.append(t.format(hand4))
+    for t in ACTION_ANSWER_TEMPLATES:
+        for narr in narrations or ("",):
+            texts.append(t.format(narr, hand4))
+    rows = []
+    for text in texts:
+        ids = tokenizer_image_token(text, tokenizer)
+        rows.extend(int(i) for i in ids if int(i) >= 0)
+        rows.append(EOS_TOKEN_ID)
+    return jnp.asarray(np.asarray(rows, np.int32))

@@ -194,7 +194,6 @@ def _layer(
     kx = apply_rope(kx, cos, sin)
 
     if stacked_kv is not None:
-        assert t == 1
         ck, cv = stacked_kv  # (L, B, S_max, K, D)
         ck = jax.lax.dynamic_update_slice(
             ck, kx[None].astype(ck.dtype), (layer_idx, 0, cache_index, 0, 0)
@@ -206,7 +205,8 @@ def _layer(
         from handsonvlm_tpu.ops.decode_attention import stacked_kernel_ok
 
         use_kernel = (
-            attn_impl in ("auto", "decode")
+            t == 1
+            and attn_impl in ("auto", "decode")
             and hd % 8 == 0
             and stacked_kernel_ok(ck.shape[2])
         )
@@ -217,13 +217,14 @@ def _layer(
                 q, ck, cv, layer_idx, cache_index + 1, key_mask=key_mask
             )
         else:
-            # XLA dots fuse the layer slice (no copy), unlike pallas operands
+            # XLA dots fuse the layer slice (no copy), unlike pallas operands.
+            # Also serves small t>1 windows (speculative decode verify).
             out = attention(
                 q,
                 jax.lax.dynamic_index_in_dim(ck, layer_idx, 0, keepdims=False),
                 jax.lax.dynamic_index_in_dim(cv, layer_idx, 0, keepdims=False),
                 key_mask=key_mask, causal=True, q_offset=q_offset,
-                impl="xla", decode_length=cache_index + 1,
+                impl="xla", decode_length=cache_index + t,
             )
         out = out.reshape(b, t, h * hd)
     else:
@@ -332,13 +333,16 @@ def apply_llama(
 
     if kv_cache is not None:
         if cache_scan_mode == "auto":
-            cache_scan_mode = "stacked" if t == 1 else "carry"
+            # small t>1 windows (speculative verify) also avoid the per-layer
+            # slice copies; large-t prefill stays on carry (its slice cost is
+            # amortized once and XLA handles the big DUS well there)
+            cache_scan_mode = "stacked" if t <= 8 else "carry"
         if cache_scan_mode == "stacked":
             # Decode fast path: cache rides the carry WHOLE; each layer
-            # writes one row (in-place DUS) and attends through a
-            # scalar-prefetched layer index — no per-layer (B,S,K,D)
-            # slice copies (25-32 -> ~12 ms/step at 7B int4 B=8 S=832).
-            assert t == 1, "stacked cache mode is decode-only"
+            # writes t row(s) (in-place DUS) and attends through a
+            # scalar-prefetched layer index (t==1 pallas kernel) or a fused
+            # XLA slice — no per-layer (B,S,K,D) slice copies
+            # (25-32 -> ~12 ms/step at 7B int4 B=8 S=832).
 
             def scan_body(carry, layer_in):
                 hidden, ck, cv = carry

@@ -149,15 +149,16 @@ def test_stacked_decode_matches_carry_modes():
             params, cfg, input_ids=ids, kv_cache=cache, attn_impl="xla",
             attn_mask=attn, lora=lo,
         )
-        step = jax.random.randint(jax.random.PRNGKey(3), (b, 1), 0, 64)
-        outs = {}
-        for mode in ("stacked", "carry", "ys"):
-            h, c2 = apply_llama(
-                params, cfg, input_ids=step, kv_cache=cache, attn_mask=attn,
-                cache_scan_mode=mode, lora=lo,
-            )
-            outs[mode] = (np.asarray(h), np.asarray(c2.k), np.asarray(c2.v))
-        for mode in ("carry", "ys"):
-            np.testing.assert_allclose(outs["stacked"][0], outs[mode][0], atol=1e-5, rtol=1e-4)
-            np.testing.assert_allclose(outs["stacked"][1], outs[mode][1], atol=1e-6)
-            np.testing.assert_allclose(outs["stacked"][2], outs[mode][2], atol=1e-6)
+        for t_step in (1, 5):  # decode and speculative-verify windows
+            step = jax.random.randint(jax.random.PRNGKey(3), (b, t_step), 0, 64)
+            outs = {}
+            for mode in ("stacked", "carry", "ys"):
+                h, c2 = apply_llama(
+                    params, cfg, input_ids=step, kv_cache=cache, attn_mask=attn,
+                    cache_scan_mode=mode, lora=lo,
+                )
+                outs[mode] = (np.asarray(h), np.asarray(c2.k), np.asarray(c2.v))
+            for mode in ("carry", "ys"):
+                np.testing.assert_allclose(outs["stacked"][0], outs[mode][0], atol=1e-5, rtol=1e-4)
+                np.testing.assert_allclose(outs["stacked"][1], outs[mode][1], atol=1e-6)
+                np.testing.assert_allclose(outs["stacked"][2], outs[mode][2], atol=1e-6)
