@@ -30,6 +30,9 @@ def main():
     p.add_argument("--int4", action="store_true",
                    help="int4 group-wise weight-only decoder (more memory, more error)")
     p.add_argument("--out", default=None, help="json results path")
+    p.add_argument("--spec", type=int, default=0, metavar="K",
+                   help="speculative decode (distribution-exact; B=1 eval "
+                        "is the protocol, so metrics are unchanged)")
     args = p.parse_args()
 
     from handsonvlm_tpu.data.epic_dataset import (
@@ -55,7 +58,7 @@ def main():
     engine = InferenceEngine(
         params=params, cfg=cfg, tokenizer=tokenizer,
         temperature=args.temperature, top_p=args.top_p,
-        max_new_tokens=args.max_new_tokens,
+        max_new_tokens=args.max_new_tokens, spec_k=args.spec,
     )
     result = evaluate_epic_kitchen_traj(
         engine, dataset, seed=args.seed, limit=args.limit,

@@ -37,6 +37,7 @@ class InferenceEngine:
     top_p: float = 0.9
     max_new_tokens: int = 100
     pad_prompt_multiple: int = 32  # bucket prompt length to bound recompiles
+    spec_k: int = 0  # >0: B=1 requests use speculative decode with K drafts
 
     def build_prompt_ids(self, question: str) -> np.ndarray:
         conv = conv_templates[self.conv_mode].copy()
@@ -108,6 +109,8 @@ class InferenceEngine:
         rows = [self.build_prompt_ids(q)[0] for q in questions]
         ids, attn = self._pad_to_bucket(rows)
         images, frame_map = self.dedup_frames(np.asarray(images))
+        if self.spec_k > 0 and len(rows) == 1:
+            return self._infer_spec(ids, attn, images, frame_map, rng, params)
         out = generate_chunked(
             self.params if params is None else params,
             self.cfg,
@@ -126,6 +129,31 @@ class InferenceEngine:
         nums = jax.device_get(out.num_tokens)
         seqs = jax.device_get(out.sequences)
         gen_ids = [np.asarray(seqs[i, : int(nums[i])]) for i in range(len(rows))]
+        return pred, valid, gen_ids
+
+    def _infer_spec(self, ids, attn, images, frame_map, rng, params):
+        """B=1 latency path: speculative decode with a template-bank draft
+        (infer/speculative.py; distribution-exact, so eval metrics keep
+        their sampling semantics)."""
+        from handsonvlm_tpu.infer.speculative import (
+            build_template_bank,
+            generate_spec,
+        )
+
+        if not hasattr(self, "_spec_bank"):
+            self._spec_bank = build_template_bank(self.tokenizer, self.cfg)
+        out, _stats = generate_spec(
+            self.params if params is None else params,
+            self.cfg, ids, jnp.asarray(images, self.cfg.cdtype), rng,
+            max_new_tokens=self.max_new_tokens, k=self.spec_k,
+            temperature=self.temperature, top_p=self.top_p,
+            attn_mask=attn, frame_map=frame_map, bank_ids=self._spec_bank,
+        )
+        pred, valid = clip_pred_hands(
+            jax.device_get(out.pred_hands), jax.device_get(out.num_hands)
+        )
+        n = int(jax.device_get(out.num_tokens)[0])
+        gen_ids = [np.asarray(jax.device_get(out.sequences))[0, :n]]
         return pred, valid, gen_ids
 
 

@@ -258,6 +258,7 @@ def generate_spec(
     top_p: float = 0.9,
     eos_token_id: int = EOS_TOKEN_ID,
     attn_impl: str = "auto",
+    attn_mask=None,  # (1, T) valid-prompt mask for LEFT-padded prompts
     frame_map=None,
     bank_ids: Optional[jnp.ndarray] = None,  # (N,) template-bank tokens
     max_len: int = 0,
@@ -275,7 +276,8 @@ def generate_spec(
 
     last_hidden, cache, cache_mask = _prefill_jit(
         params, cfg, input_ids, jnp.asarray(images), max_len, attn_impl,
-        None, None if frame_map is None else jnp.asarray(frame_map),
+        None if attn_mask is None else jnp.asarray(attn_mask),
+        None if frame_map is None else jnp.asarray(frame_map),
     )
     rng, r0 = jax.random.split(rng)
     token, waypoint = _first_token(
@@ -284,7 +286,10 @@ def generate_spec(
     tok0 = jnp.asarray(token[0], jnp.int32)
     wp0 = waypoint[0].astype(jnp.float32)
 
-    prompt_row = jnp.where(input_ids[0] < 0, PAD_TOKEN_ID, input_ids[0]).astype(jnp.int32)
+    row = np.asarray(input_ids[0])
+    if attn_mask is not None:
+        row = row[np.asarray(attn_mask[0], bool)]  # drop left-pad bucket slots
+    prompt_row = jnp.asarray(np.where(row < 0, PAD_TOKEN_ID, row), jnp.int32)
     bank = (
         jnp.asarray(bank_ids, jnp.int32)
         if bank_ids is not None else jnp.zeros((0,), jnp.int32)

@@ -50,6 +50,7 @@ class ModelWorker:
         defer_load: bool = False,
         lora_dir: Optional[str] = None,
         lora_resident: int = 4,
+        spec_k: int = 0,
     ):
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
@@ -62,7 +63,7 @@ class ModelWorker:
         self.ready = False
         self._load_args = (
             model_path, preset, quantize, max_batch, batch_wait_ms,
-            lora_dir, lora_resident,
+            lora_dir, lora_resident, spec_k,
         )
         if not defer_load:
             self.load()
@@ -73,13 +74,15 @@ class ModelWorker:
         distinguish "loading" from "dead" during the minutes-long model load
         (ROADMAP round-1 item; the reference worker binds only after load)."""
         (model_path, preset, quantize, max_batch, batch_wait_ms,
-         lora_dir, lora_resident) = self._load_args
+         lora_dir, lora_resident, spec_k) = self._load_args
 
         from handsonvlm_tpu.eval.evaluator import InferenceEngine
         from handsonvlm_tpu.infer.builder import load_pretrained_model
 
         params, cfg, tokenizer = load_pretrained_model(model_path, preset, quantize=quantize)
-        self.engine = InferenceEngine(params=params, cfg=cfg, tokenizer=tokenizer)
+        self.engine = InferenceEngine(
+            params=params, cfg=cfg, tokenizer=tokenizer, spec_k=spec_k
+        )
         self.cfg = cfg
         self._seed = 0
         self.lora = None
@@ -398,6 +401,9 @@ def main():
                         "request (serve/lora_registry.py)")
     p.add_argument("--lora-resident", type=int, default=4,
                    help="max adapters resident in HBM at once (LRU)")
+    p.add_argument("--spec", type=int, default=0, metavar="K",
+                   help="speculative decode for unbatched requests "
+                        "(K-token drafts; infer/speculative.py)")
     args = p.parse_args()
     addr = args.worker_address or f"http://localhost:{args.port}"
     worker = ModelWorker(
@@ -407,6 +413,7 @@ def main():
         quantize="int8" if args.int8 else ("int4" if args.int4 else None),
         defer_load=True,
         lora_dir=args.lora_dir, lora_resident=args.lora_resident,
+        spec_k=args.spec,
     )
     # bind + serve /healthz immediately; generate endpoints 503 until loaded
     server = serve_worker(worker, args.host, args.port)

@@ -321,3 +321,27 @@ def test_lora_hot_swap(tmp_path):
     finally:
         w_server.shutdown()
         worker.stop()
+
+
+def test_worker_spec_decode():
+    """--spec worker: unbatched requests decode speculatively (engine
+    routes B=1 through generate_spec) and return the normal payload."""
+    from handsonvlm_tpu.serve.model_worker import ModelWorker, serve_worker
+
+    worker = ModelWorker(
+        None, "http://127.0.0.1:0", "random:tiny", preset="tiny", spec_k=2,
+    )
+    w_server = serve_worker(worker, "127.0.0.1", 0)
+    w_port = w_server.server_address[1]
+    threading.Thread(target=w_server.serve_forever, daemon=True).start()
+    try:
+        out = _post(
+            f"http://127.0.0.1:{w_port}/worker_generate",
+            {"prompt": "Where should my hand move?", "max_new_tokens": 5},
+            timeout=300,
+        )
+        assert out["error_code"] == 0
+        assert np.asarray(out["pred_hands"]).shape == (1, 2, 4, 2)
+    finally:
+        w_server.shutdown()
+        worker.stop()
