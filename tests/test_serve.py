@@ -261,7 +261,7 @@ def test_lora_hot_swap(tmp_path):
         model_name="tiny", max_batch=4, batch_wait_ms=150.0, defer_load=True,
     )
     # adapters need the loaded cfg — load the base first, then the dir
-    worker._load_args = worker._load_args[:5] + (None, 4)
+    worker._load_args = worker._load_args[:5] + (None, 4, 0)
     worker.load()
     cfg = worker.cfg
     _make_adapter_dir(tmp_path, cfg, "styleA", seed=7)
