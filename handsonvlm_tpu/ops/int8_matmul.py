@@ -422,9 +422,15 @@ def _prefill4_kernel(xr_ref, w_ref, s_ref, o_ref, acc_ref):
         o_ref[:] = acc_ref[:]
 
 
-PREFILL4_BLOCK_M = 256  # tuned on-chip: (256,512) 65 ms vs (512,256) 74,
-PREFILL4_BLOCK_N = 512  # (128,512) 87, (256,256) 107 per T=512 7B prefill
-                        # (tools/perf_int4_prefill_tune.py, same-process A/B)
+import os as _os
+
+PREFILL4_BLOCK_M = int(_os.environ.get("HANDSONVLM_INT4_PREFILL_BM", "256"))
+PREFILL4_BLOCK_N = int(_os.environ.get("HANDSONVLM_INT4_PREFILL_BN", "512"))
+# tuned on-chip: (256,512) 65 ms vs (512,256) 74, (128,512) 87, (256,256)
+# 107 per T=512 7B prefill (tools/perf_int4_prefill_tune.py); env knobs for
+# debugging compiler limits at other model scales (13B backward probe)
+INT4_T_BD = int(_os.environ.get("HANDSONVLM_INT4_T_BD", "512"))
+INT4_T_BN = int(_os.environ.get("HANDSONVLM_INT4_T_BN", "512"))
 
 
 def _prefill4_blocks(m: int, d: int, n: int, group: int):
@@ -532,10 +538,11 @@ def int4_matmul_stacked_T(
     dy2 = dy.reshape(-1, n).astype(jnp.bfloat16)
     m = dy2.shape[0]
     block_m = min(256, max(m, 8))
-    bd = _pick_div(d, (512, 256, 128), d)
+    cand = tuple(c for c in (512, 256, 128) if c <= INT4_T_BD)
+    bd = _pick_div(d, cand, d)
     if bd % group or d % bd:
         bd = d
-    bn = _pick_div(n, (512, 256, 128), n)
+    bn = _pick_div(n, tuple(c for c in (512, 256, 128) if c <= INT4_T_BN), n)
     gk = bd // group
     m_pad = _cdiv(m, block_m) * block_m
     if m_pad != m:
