@@ -36,6 +36,9 @@ def main():
     p.add_argument("--lora-r", type=int, default=0,
                    help="enable LoRA with this rank (reference: 128)")
     p.add_argument("--lora-alpha", type=float, default=256.0)
+    p.add_argument("--mu-bf16", action="store_true",
+                   help="bf16 Adam first moment (halves moment memory; "
+                        "enables 13B QLoRA r=128 on one 16 GB chip)")
     p.add_argument("--qlora", choices=["int8", "int4"], default=None,
                    help="quantize the frozen decoder base (requires --lora-r): "
                         "int4 fits a 7B QLoRA fine-tune on one 16 GB chip "
@@ -62,6 +65,7 @@ def main():
     args = p.parse_args()
 
     import jax
+    import jax.numpy as jnp
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -131,6 +135,7 @@ def main():
     tx = make_optimizer(
         sched, weight_decay=args.weight_decay, params_template=params,
         freeze_top_keys=freeze,
+        mu_dtype=jnp.bfloat16 if args.mu_bf16 else None,
     )
     state = create_train_state(params, tx)
 

@@ -72,10 +72,14 @@ def make_optimizer(
     max_grad_norm: Optional[float] = 1.0,
     params_template=None,
     freeze_top_keys=("vision",),
+    mu_dtype=None,
 ) -> optax.GradientTransformation:
+    """`mu_dtype` (e.g. jnp.bfloat16) halves the first-moment memory —
+    with QLoRA it is what fits 13B LoRA r=128 on a 16 GB chip."""
     tx = optax.chain(
         optax.clip_by_global_norm(max_grad_norm) if max_grad_norm else optax.identity(),
-        optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay),
+        optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps,
+                    weight_decay=weight_decay, mu_dtype=mu_dtype),
     )
     if params_template is not None:
         # multi_transform with set_to_zero: frozen leaves get ZERO updates.
