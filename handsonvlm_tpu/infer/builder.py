@@ -133,6 +133,20 @@ def load_pretrained_model(
         params = jax.jit(lambda k: init_handsonvlm(k, cfg))(jax.random.PRNGKey(0))
         return _maybe_quantize(params), cfg, tokenizer
 
+    if quantize and jax.devices()[0].platform != "cpu":
+        # Real checkpoints quantize HOST-SIDE: loading the bf16 tree onto
+        # the chip and quantizing there peaks at bf16+quant (17+ GB at 7B)
+        # and the freed bf16 buffers never return to this tunnel's
+        # allocator (CLAUDE.md). Load + quantize on the CPU backend, then
+        # ship only the quantized tree.
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            params, cfg, tokenizer = load_pretrained_model(
+                model_path, preset, dtype, quantize=None
+            )
+            params = _maybe_quantize(params)
+        return jax.device_put(params), cfg, tokenizer
+
     if os.path.isdir(model_path) and (
         os.path.isdir(os.path.join(model_path, "mm_projector"))
         or os.path.isdir(os.path.join(model_path, "lora"))
