@@ -345,3 +345,32 @@ def test_worker_spec_decode():
     finally:
         w_server.shutdown()
         worker.stop()
+
+
+def test_worker_spec_with_lora(tmp_path):
+    """Speculative decode composes with per-request LoRA hot-swap: the
+    B=1 spec path receives the adapter-augmented params."""
+    from handsonvlm_tpu.serve.lora_registry import LoraRegistry
+    from handsonvlm_tpu.serve.model_worker import ModelWorker, serve_worker
+
+    worker = ModelWorker(
+        None, "http://127.0.0.1:0", "random:tiny", preset="tiny",
+        model_name="tiny", spec_k=2, defer_load=True,
+    )
+    worker._load_args = worker._load_args[:5] + (None, 4, 2)
+    worker.load()
+    _make_adapter_dir(tmp_path, worker.cfg, "styleA", seed=11)
+    worker.lora = LoraRegistry(str(tmp_path))
+    w_server = serve_worker(worker, "127.0.0.1", 0)
+    w_port = w_server.server_address[1]
+    threading.Thread(target=w_server.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{w_port}/worker_generate"
+        out = _post(url, {"prompt": "hi", "lora": "styleA", "max_new_tokens": 4},
+                    timeout=300)
+        assert out["error_code"] == 0
+        base = _post(url, {"prompt": "hi", "max_new_tokens": 4}, timeout=300)
+        assert base["error_code"] == 0
+    finally:
+        w_server.shutdown()
+        worker.stop()

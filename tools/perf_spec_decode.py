@@ -20,12 +20,24 @@ from handsonvlm_tpu.ops.int8_matmul import init_llama_int4
 import os
 MAX_NEW = 64
 K = int(os.environ.get("SPEC_K", "4"))
+QUANT = os.environ.get("SPEC_QUANT", "int4")  # int4 | int8 | bf16
 
 def main():
     cfg = get_config("7b")
     k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 4)
+    if QUANT == "bf16":
+        from handsonvlm_tpu.models.llama import init_llama
+        # jitted: un-jitted 7B init leaves fp32 temporaries that fragment
+        # the heap permanently on this tunnel (CLAUDE.md)
+        init_dec = lambda k, c, d: jax.jit(
+            lambda kk: init_llama(kk, c, dtype=d)
+        )(k)
+    elif QUANT == "int8":
+        from handsonvlm_tpu.ops.int8_matmul import init_llama_int8 as init_dec
+    else:
+        init_dec = init_llama_int4
     params = {
-        "llama": init_llama_int4(k1, cfg.llama, cfg.pdtype),
+        "llama": init_dec(k1, cfg.llama, cfg.pdtype),
         "vision": jax.jit(lambda k: init_clip_vision(k, cfg.vision, cfg.pdtype))(k2),
         "projector": jax.jit(lambda k: init_projector(k, cfg.mm_hidden_size, cfg.llama.hidden_size, cfg.pdtype))(k3),
         "traj": jax.jit(lambda k: init_traj_decoder(k, cfg.traj, cfg.llama.hidden_size // 2, cfg.pdtype))(k4),
