@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os as _os
 from typing import Tuple
 
 import jax
@@ -334,10 +335,13 @@ def _gemv4_kernel(xlo_ref, xc_ref, sx8_ref, w_ref, s_ref, o_ref):
     o_ref[:] = y
 
 
+INT4_GEMV_BN = int(_os.environ.get("HANDSONVLM_INT4_GEMV_BN", str(BLOCK_N)))
+
+
 def _pick_block_n(n: int, d_bytes: int) -> int:
-    """Largest block_n <= BLOCK_N that divides n and keeps the packed block
-    + f32 intermediates under VMEM budget."""
-    block_n = min(BLOCK_N, n)
+    """Largest block_n <= INT4_GEMV_BN that divides n and keeps the packed
+    block + f32 intermediates under VMEM budget."""
+    block_n = min(INT4_GEMV_BN, n)
     while block_n > 8 and (n % block_n or 2 * d_bytes * block_n > 5 * 1024 * 1024):
         block_n //= 2
     return max(block_n, math.gcd(n, 128))
@@ -421,8 +425,6 @@ def _prefill4_kernel(xr_ref, w_ref, s_ref, o_ref, acc_ref):
     def _done():
         o_ref[:] = acc_ref[:]
 
-
-import os as _os
 
 PREFILL4_BLOCK_M = int(_os.environ.get("HANDSONVLM_INT4_PREFILL_BM", "256"))
 PREFILL4_BLOCK_N = int(_os.environ.get("HANDSONVLM_INT4_PREFILL_BN", "512"))
