@@ -262,10 +262,15 @@ def generate_spec(
     frame_map=None,
     bank_ids: Optional[jnp.ndarray] = None,  # (N,) template-bank tokens
     max_len: int = 0,
+    on_token=None,
 ):
     """Speculative generate, B=1. Returns (SampleOutput, stats dict with
     'iters' forwards and 'drafts_found'). Sampling distribution matches
-    generate/generate_chunked exactly (greedy: token-identical)."""
+    generate/generate_chunked exactly (greedy: token-identical).
+
+    `on_token` (token_id -> None) streams tokens in bursts after each
+    chunk dispatch (up to chunk_iters*(k+1) tokens per burst; lower
+    `chunk_iters` for finer-grained streaming)."""
     import numpy as np
 
     input_ids = jnp.asarray(input_ids)
@@ -324,6 +329,9 @@ def generate_spec(
     state["num_hands"] = state["num_hands"] + is_hand0.astype(jnp.int32)
     state["finished"] = tok0 == eos_token_id
 
+    if on_token is not None and not bool(jax.device_get(state["finished"])):
+        on_token(int(tok0))
+    streamed = 1
     while True:
         rng, r_chunk = jax.random.split(rng)
         cache, state, _ = spec_chunk(
@@ -332,9 +340,23 @@ def generate_spec(
             temperature=temperature, top_p=top_p,
             eos_token_id=eos_token_id, attn_impl=attn_impl,
         )
-        if bool(jax.device_get(state["finished"])):
-            break
-        if int(jax.device_get(state["n_tokens"])) >= max_new_tokens:
+        done = bool(jax.device_get(state["finished"]))
+        n_now = int(jax.device_get(state["n_tokens"]))
+        if on_token is not None and n_now > streamed:
+            burst = np.asarray(
+                jax.device_get(
+                    jax.lax.dynamic_slice(
+                        state["tokens"], (streamed,),
+                        (min(n_now, max_new_tokens) - streamed,),
+                    )
+                )
+            )
+            for t_id in burst:
+                if t_id == eos_token_id:
+                    break
+                on_token(int(t_id))
+            streamed = n_now
+        if done or n_now >= max_new_tokens:
             break
 
     n = int(jax.device_get(state["n_tokens"]))

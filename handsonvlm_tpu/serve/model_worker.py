@@ -283,16 +283,39 @@ class ModelWorker:
 
             def run():
                 try:
-                    out = generate_host(
-                        req_params, self.cfg, ids, frames[None],
-                        jax.random.PRNGKey(self._seed),
-                        max_new_tokens=self.engine.max_new_tokens,
-                        temperature=self.engine.temperature,
-                        top_p=self.engine.top_p, attn_mask=attn,
-                        on_token=on_token,
-                        stop_strs=[stop_str] if stop_str else None,
-                        tokenizer=self.engine.tokenizer,
-                    )
+                    if self.engine.spec_k > 0:
+                        # speculative streaming: tokens arrive in bursts of
+                        # up to chunk_iters*(k+1) per dispatch
+                        from handsonvlm_tpu.infer.speculative import (
+                            build_template_bank,
+                            generate_spec,
+                        )
+
+                        if not hasattr(self.engine, "_spec_bank"):
+                            self.engine._spec_bank = build_template_bank(
+                                self.engine.tokenizer, self.cfg
+                            )
+                        out, _stats = generate_spec(
+                            req_params, self.cfg, ids, frames[None],
+                            jax.random.PRNGKey(self._seed),
+                            max_new_tokens=self.engine.max_new_tokens,
+                            k=self.engine.spec_k, chunk_iters=2,
+                            temperature=self.engine.temperature,
+                            top_p=self.engine.top_p, attn_mask=attn,
+                            bank_ids=self.engine._spec_bank,
+                            on_token=on_token,
+                        )
+                    else:
+                        out = generate_host(
+                            req_params, self.cfg, ids, frames[None],
+                            jax.random.PRNGKey(self._seed),
+                            max_new_tokens=self.engine.max_new_tokens,
+                            temperature=self.engine.temperature,
+                            top_p=self.engine.top_p, attn_mask=attn,
+                            on_token=on_token,
+                            stop_strs=[stop_str] if stop_str else None,
+                            tokenizer=self.engine.tokenizer,
+                        )
                     pred, valid = clip_pred_hands(
                         np.asarray(out.pred_hands), np.asarray(out.num_hands)
                     )

@@ -342,6 +342,19 @@ def test_worker_spec_decode():
         )
         assert out["error_code"] == 0
         assert np.asarray(out["pred_hands"]).shape == (1, 2, 4, 2)
+
+        # streamed variant: burst streaming from the speculative chunks
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{w_port}/worker_generate_stream",
+            json.dumps({"prompt": "Where?", "max_new_tokens": 6}).encode(),
+            {"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            chunks = [json.loads(c) for c in r.read().split(b"\0") if c]
+        assert chunks and chunks[-1].get("finish")
+        assert all(c["error_code"] == 0 for c in chunks)
+        texts = [c["text"] for c in chunks[:-1]]
+        assert all(texts[i + 1].startswith(texts[i]) for i in range(len(texts) - 1))
     finally:
         w_server.shutdown()
         worker.stop()
