@@ -17,6 +17,8 @@ is the algorithmic speedup at equal hardware and weights.
 
 Env:
   HANDSONVLM_BENCH_PRESET = 7b (default) | 13b | 1b | graft
+  HANDSONVLM_BENCH_QUANT = int4 (default: the production serving mode)
+                           | int8 | "" (bf16)
   HANDSONVLM_BENCH_NEW_TOKENS = 64
 """
 
@@ -106,7 +108,7 @@ def main():
     # jitted init: one program, bf16 buffers materialized directly (unjitted
     # init leaves fp32 temporaries that fragment HBM at 7B). Int8 quantizes
     # inside the same program so the bf16 decoder weights never persist.
-    quant = os.environ.get("HANDSONVLM_BENCH_QUANT", "")
+    quant = os.environ.get("HANDSONVLM_BENCH_QUANT", "int4")
     use_int8 = os.environ.get("HANDSONVLM_BENCH_INT8", "0") == "1" or quant == "int8"
     use_int4 = quant == "int4"
 

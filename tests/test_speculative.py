@@ -142,3 +142,17 @@ def test_spec_bank_accelerates():
         np.asarray(out.sequences[0, :n]), np.asarray(ref.sequences[0, :n])
     )
     assert stats["iters"] < stats["tokens"], stats  # >1 token per forward
+
+
+def test_build_template_bank():
+    """Bank tokenization: joins the EK answer templates with EOS and keeps
+    only real token ids (no -200 sentinels)."""
+    from handsonvlm_tpu.data.mock_tokenizer import MockTokenizer
+    from handsonvlm_tpu.infer.speculative import build_template_bank
+
+    bank = np.asarray(build_template_bank(MockTokenizer(), CFG, ("reach for the cup",)))
+    assert bank.ndim == 1 and bank.size > 20
+    assert (bank >= 0).all()
+    from handsonvlm_tpu.infer.sampler import EOS_TOKEN_ID
+
+    assert (bank == EOS_TOKEN_ID).sum() >= 7  # one per template joined
