@@ -20,6 +20,10 @@ Env:
   HANDSONVLM_BENCH_QUANT = int4 (default: the production serving mode)
                            | int8 | "" (bf16)
   HANDSONVLM_BENCH_NEW_TOKENS = 64
+  HANDSONVLM_BENCH_SPEC = K>0 enables n-gram speculative decoding with the
+                          EK template bank (the B=1 production latency
+                          mode, infer/speculative.py); same sampling
+                          distribution as the sequential sampler
 """
 
 from __future__ import annotations
@@ -162,13 +166,30 @@ def main():
     # fused device loop, tests/test_sampler_chunked.py); amortizes host
     # dispatch without the fused while-loop's heavy 7B compile
     chunk = int(os.environ.get("HANDSONVLM_BENCH_CHUNK", "32"))
+    spec_k = int(os.environ.get("HANDSONVLM_BENCH_SPEC", "0"))
 
-    def run(seed):
-        return generate_chunked(
-            params, cfg, ids_j, images_unique, jax.random.PRNGKey(seed),
-            max_new_tokens=max_new, temperature=0.5, top_p=0.9, chunk=chunk,
-            frame_map=frame_map,
+    if spec_k > 0:
+        from handsonvlm_tpu.infer.speculative import (
+            build_template_bank,
+            generate_spec,
         )
+
+        bank = build_template_bank(tok, cfg, ("open the fridge",))
+
+        def run(seed):
+            out, _ = generate_spec(
+                params, cfg, ids_j, images_unique, jax.random.PRNGKey(seed),
+                max_new_tokens=max_new, k=spec_k, temperature=0.5, top_p=0.9,
+                frame_map=frame_map, bank_ids=bank,
+            )
+            return out
+    else:
+        def run(seed):
+            return generate_chunked(
+                params, cfg, ids_j, images_unique, jax.random.PRNGKey(seed),
+                max_new_tokens=max_new, temperature=0.5, top_p=0.9, chunk=chunk,
+                frame_map=frame_map,
+            )
 
     out = run(0)
     jax.block_until_ready(out.sequences)  # compile + warmup
@@ -211,7 +232,8 @@ def main():
 
     result = {
         "metric": f"decode_tokens_per_sec_{preset}"
-        + ("_int8" if use_int8 else "_int4" if use_int4 else ""),
+        + ("_int8" if use_int8 else "_int4" if use_int4 else "")
+        + (f"_spec{spec_k}" if spec_k > 0 else ""),
         "value": round(cached_tps, 3),
         "unit": "tokens/s/chip",
         "vs_baseline": round(cached_tps / baseline_tps, 3),

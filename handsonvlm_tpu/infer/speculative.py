@@ -189,39 +189,41 @@ def spec_chunk(
             r_v, logits.astype(jnp.float32), draft, temperature, top_p,
             cfg.hand_token_id, eos_token_id,
         )
-        wps = jax.vmap(
-            lambda h, r: decode_hand_waypoint(params, cfg, h[None], r)[0]
-        )(hidden[0], jax.random.split(r_w, k + 1)).astype(jnp.float32)  # (k+1,2,2)
 
         fin = state["finished"]
         n_eff = jnp.where(fin, 0, n_emit)
+        last = jnp.clip(n_eff - 1, 0, k)
+
+        # ONE waypoint decode per forward: emission truncates after the
+        # first <hand_traj> (spec_verify), so a hand token — the only
+        # position whose waypoint is ever read — can only sit at the LAST
+        # emitted position; decoding all k+1 positions was 5x wasted CVAE
+        # work per forward.
+        h_last = jax.lax.dynamic_index_in_dim(hidden[0], last, 0, keepdims=False)
+        wp_last = decode_hand_waypoint(params, cfg, h_last[None], r_w)[0].astype(
+            jnp.float32
+        )  # (2, 2)
 
         tokens = jax.lax.dynamic_update_slice(
             state["tokens"], emitted, (state["n_tokens"],)
         )
-        wps_acc = jax.lax.dynamic_update_slice(
-            state["wps"], wps, (state["n_tokens"], 0, 0)
-        )
         buf = jax.lax.dynamic_update_slice(state["buf"], emitted, (state["buf_len"],))
 
-        # hand bookkeeping: scatter waypoints of emitted hand tokens
         pred_hands, num_hands = state["pred_hands"], state["num_hands"]
-        for i in range(k + 1):
-            is_hand = (emitted[i] == cfg.hand_token_id) & (i < n_eff)
-            slot = jnp.clip(num_hands, 0, MAX_HAND_STEPS - 1)
-            pred_hands = jnp.where(
-                is_hand, pred_hands.at[slot].set(wps[i]), pred_hands
-            )
-            num_hands = num_hands + is_hand.astype(jnp.int32)
+        is_hand = (emitted[last] == cfg.hand_token_id) & (n_eff > 0)
+        slot = jnp.clip(num_hands, 0, MAX_HAND_STEPS - 1)
+        pred_hands = jnp.where(
+            is_hand, pred_hands.at[slot].set(wp_last), pred_hands
+        )
+        num_hands = num_hands + is_hand.astype(jnp.int32)
 
-        last = jnp.clip(n_eff - 1, 0, k)
         new_cur = jnp.where(fin, state["cur_tok"], emitted[last])
         new_prev = jnp.where(
             fin,
             state["prev_tok"],
             jnp.where(n_eff >= 2, emitted[jnp.clip(n_eff - 2, 0, k)], state["cur_tok"]),
         )
-        new_wp = jnp.where(fin, state["cur_wp"], wps[last])
+        new_wp = jnp.where(fin, state["cur_wp"], wp_last)
         hit_eos = ((emitted == eos_token_id) & (jnp.arange(k + 1) < n_eff)).any()
         n_tokens = state["n_tokens"] + n_eff
         finished = fin | hit_eos | (n_tokens >= max_new_tokens)
@@ -233,7 +235,7 @@ def spec_chunk(
             state,
             buf=buf, buf_len=state["buf_len"] + n_eff,
             prev_tok=new_prev, cur_tok=new_cur, cur_wp=new_wp,
-            tokens=tokens, wps=wps_acc, n_tokens=n_tokens,
+            tokens=tokens, n_tokens=n_tokens,
             pred_hands=pred_hands, num_hands=num_hands, finished=finished,
             iters=state["iters"] + jnp.where(fin, 0, 1),
             drafts_found=state["drafts_found"] + jnp.where(fin | ~found, 0, 1),
@@ -270,7 +272,14 @@ def generate_spec(
 
     `on_token` (token_id -> None) streams tokens in bursts after each
     chunk dispatch (up to chunk_iters*(k+1) tokens per burst; lower
-    `chunk_iters` for finer-grained streaming)."""
+    `chunk_iters` for finer-grained streaming).
+
+    Without `on_token`, the whole decode runs as ONE spec_chunk dispatch:
+    every forward emits >=1 token, so `max_new_tokens` iterations always
+    suffice, and finished iterations skip the weight streams via lax.cond
+    (they cost loop arithmetic only). Chunked dispatch pays ~30 ms of
+    tunnel latency per host sync (CLAUDE.md), which at ~5 chunks was ~40%
+    of the 64-token decode wall time."""
     import numpy as np
 
     input_ids = jnp.asarray(input_ids)
@@ -314,7 +323,6 @@ def generate_spec(
         "cur_tok": tok0,
         "cur_wp": wp0,
         "tokens": jnp.zeros((acc_cap,), jnp.int32).at[0].set(tok0),
-        "wps": jnp.zeros((acc_cap, 2, 2), jnp.float32).at[0].set(wp0),
         "n_tokens": jnp.asarray(1, jnp.int32),
         "pred_hands": jnp.zeros((MAX_HAND_STEPS, 2, 2), jnp.float32),
         "num_hands": jnp.asarray(0, jnp.int32),
@@ -331,6 +339,9 @@ def generate_spec(
 
     if on_token is not None and not bool(jax.device_get(state["finished"])):
         on_token(int(tok0))
+    if on_token is None:
+        # non-streaming: one dispatch covers the worst case (1 token/fwd)
+        chunk_iters = max(chunk_iters, max_new_tokens)
     streamed = 1
     while True:
         rng, r_chunk = jax.random.split(rng)
@@ -340,17 +351,16 @@ def generate_spec(
             temperature=temperature, top_p=top_p,
             eos_token_id=eos_token_id, attn_impl=attn_impl,
         )
-        done = bool(jax.device_get(state["finished"]))
-        n_now = int(jax.device_get(state["n_tokens"]))
+        # ONE host sync per chunk: each device_get is a ~30 ms tunnel trip
+        done_arr, n_arr = jax.device_get((state["finished"], state["n_tokens"]))
+        done, n_now = bool(done_arr), int(n_arr)
         if on_token is not None and n_now > streamed:
-            burst = np.asarray(
-                jax.device_get(
-                    jax.lax.dynamic_slice(
-                        state["tokens"], (streamed,),
-                        (min(n_now, max_new_tokens) - streamed,),
-                    )
-                )
-            )
+            # fetch the whole (tiny) token buffer and slice host-side: a
+            # device-side dynamic_slice outside jit would compile a new
+            # program per distinct burst length
+            burst = np.asarray(jax.device_get(state["tokens"]))[
+                streamed : min(n_now, max_new_tokens)
+            ]
             for t_id in burst:
                 if t_id == eos_token_id:
                     break
@@ -359,9 +369,13 @@ def generate_spec(
         if done or n_now >= max_new_tokens:
             break
 
-    n = int(jax.device_get(state["n_tokens"]))
-    n = min(n, max_new_tokens)
-    tokens = np.asarray(jax.device_get(state["tokens"]))[:max_new_tokens]
+    # one bulk fetch for everything the host needs (vs 6 tunnel round trips)
+    fetched = jax.device_get(
+        {k_: state[k_] for k_ in
+         ("n_tokens", "tokens", "pred_hands", "num_hands", "iters", "drafts_found")}
+    )
+    n = min(int(fetched["n_tokens"]), max_new_tokens)
+    tokens = np.asarray(fetched["tokens"])[:max_new_tokens]
     # EOS truncation: tokens after the first EOS are garbage slots
     seq = np.full((1, max_new_tokens), PAD_TOKEN_ID, np.int32)
     seq[0, :n] = tokens[:n]
@@ -373,13 +387,13 @@ def generate_spec(
         sequences=jnp.asarray(seq),
         num_tokens=jnp.asarray([n], jnp.int32),
         pred_hands=jnp.asarray(
-            np.asarray(jax.device_get(state["pred_hands"]))[None].transpose(0, 2, 1, 3)
+            np.asarray(fetched["pred_hands"])[None].transpose(0, 2, 1, 3)
         ),
-        num_hands=jnp.asarray([int(jax.device_get(state["num_hands"]))], jnp.int32),
+        num_hands=jnp.asarray([int(fetched["num_hands"])], jnp.int32),
     )
     stats = {
-        "iters": int(jax.device_get(state["iters"])),
-        "drafts_found": int(jax.device_get(state["drafts_found"])),
+        "iters": int(fetched["iters"]),
+        "drafts_found": int(fetched["drafts_found"]),
         "tokens": n,
     }
     return out, stats

@@ -442,12 +442,23 @@ def lm_logits(params, cfg: LlamaConfig, hidden: jnp.ndarray) -> jnp.ndarray:
     purely a sharding-layout choice, numerically invisible."""
     if cfg.tie_word_embeddings:
         w = params["embed"]["weight"].T
+        scale = None
+    elif "w8" in params["lm_head"]:
+        # int8 weight-only head (quantize_lm_head): XLA streams the int8
+        # table and fuses the upcast into the dot (w8bf16 path, measured
+        # full-rate in tools/perf_int8_paths.py) — halves the 0.26 GB/step
+        # bf16 head read in quantized decode modes.
+        w = params["lm_head"]["w8"].astype(hidden.dtype)
+        scale = params["lm_head"]["scale"]
     else:
         w = params["lm_head"]["weight"]
+        scale = None
     logits = jax.lax.dot_general(
         hidden, w, (((hidden.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    if scale is not None:
+        logits = logits * scale
     if logits.shape[-1] != cfg.vocab_size:
         pad_mask = jnp.arange(logits.shape[-1]) >= cfg.vocab_size
         logits = jnp.where(pad_mask, -jnp.inf, logits)

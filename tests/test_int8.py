@@ -195,3 +195,38 @@ def test_int4_stacked_custom_vjp():
     gx, ggs = jax.grad(loss, argnums=(0, 2))(x, w4_all, gs_all)
     assert gx.shape == x.shape and float(jnp.abs(gx).sum()) > 0
     assert float(jnp.abs(ggs).sum()) == 0.0
+
+
+def test_int8_lm_head_logits_close():
+    """quantize_lm_head: per-column int8 head matches bf16 logits closely
+    and is idempotent; lm_logits dispatches on the leaf structure."""
+    from handsonvlm_tpu.models.llama import lm_logits
+    from handsonvlm_tpu.ops.int8_matmul import quantize_lm_head
+
+    params = init_llama(jax.random.PRNGKey(0), CFG)
+    q = quantize_lm_head(dict(params))
+    assert "w8" in q["lm_head"] and q["lm_head"]["w8"].dtype == jnp.int8
+    assert quantize_lm_head(q)["lm_head"] is q["lm_head"]  # idempotent
+
+    h = jax.random.normal(jax.random.PRNGKey(1), (1, 3, CFG.hidden_size))
+    ref = np.asarray(lm_logits(params, CFG, h))
+    got = np.asarray(lm_logits(q, CFG, h))
+    assert ref.shape == got.shape
+    m = np.isfinite(ref)
+    rel = np.abs(got[m] - ref[m]).mean() / (np.abs(ref[m]).mean() + 1e-9)
+    assert rel < 0.02, rel
+
+
+def test_quantized_inits_emit_int8_lm_head():
+    from handsonvlm_tpu.ops.int8_matmul import (
+        init_llama_int4,
+        init_llama_int8,
+        quantize_llama_int4,
+    )
+
+    p8 = init_llama_int8(jax.random.PRNGKey(0), CFG)
+    p4 = init_llama_int4(jax.random.PRNGKey(0), CFG)
+    assert "w8" in p8["lm_head"] and "w8" in p4["lm_head"]
+    dense = init_llama(jax.random.PRNGKey(0), CFG)
+    assert "w8" in quantize_llama(dense)["lm_head"]
+    assert "w8" in quantize_llama_int4(dense)["lm_head"]
