@@ -102,6 +102,7 @@ def prefill(
     attn_mask: Optional[jnp.ndarray] = None,
     attn_impl: str = "auto",
     frame_map: Optional[jnp.ndarray] = None,
+    tp_mesh=None,
 ) -> Tuple[jnp.ndarray, KVCache, jnp.ndarray]:
     """Encode video, splice, run the prompt through the decoder once.
 
@@ -131,6 +132,7 @@ def prefill(
         params["llama"], cfg.llama,
         inputs_embeds=sp.embeds, attn_mask=cache_mask,
         kv_cache=cache, attn_impl=attn_impl, lora=params.get("lora"),
+        tp_mesh=tp_mesh,
     )
     return hidden[:, -1, :], cache, cache_mask
 
@@ -273,15 +275,18 @@ def generate(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_len", "attn_impl"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "max_len", "attn_impl", "tp_mesh")
+)
 def _prefill_jit(params, cfg, input_ids, images, max_len, attn_impl, attn_mask=None,
-                 frame_map=None):
+                 frame_map=None, tp_mesh=None):
     return prefill(params, cfg, input_ids, images, max_len, attn_impl=attn_impl,
-                   attn_mask=attn_mask, frame_map=frame_map)
+                   attn_mask=attn_mask, frame_map=frame_map, tp_mesh=tp_mesh)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "temperature", "top_p", "attn_impl"),
+    jax.jit,
+    static_argnames=("cfg", "temperature", "top_p", "attn_impl", "tp_mesh"),
     donate_argnums=(2,),
 )
 def decode_step(
@@ -296,6 +301,7 @@ def decode_step(
     temperature: float = 0.5,
     top_p: float = 0.9,
     attn_impl: str = "auto",
+    tp_mesh=None,
 ):
     """One cached decode step (host-driven loop variant).
 
@@ -309,6 +315,7 @@ def decode_step(
     hidden, cache = apply_llama(
         params["llama"], cfg.llama, inputs_embeds=emb[:, None, :],
         attn_mask=cache_mask, kv_cache=cache, attn_impl=attn_impl, lora=params.get("lora"),
+        tp_mesh=tp_mesh,
     )
     h = hidden[:, 0, :]
     logits = lm_logits(params["llama"], cfg.llama, h[:, None, :])[:, 0]
@@ -330,7 +337,7 @@ def _first_token(params, cfg, last_hidden, rng, *, temperature, top_p, attn_impl
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "k", "temperature", "top_p", "attn_impl"),
+    static_argnames=("cfg", "k", "temperature", "top_p", "attn_impl", "tp_mesh"),
     donate_argnums=(2,),
 )
 def decode_chunk(
@@ -350,6 +357,7 @@ def decode_chunk(
     top_p: float = 0.9,
     attn_impl: str = "auto",
     eos_token_id: int = EOS_TOKEN_ID,
+    tp_mesh=None,
 ):
     """Run k cached decode steps in one dispatch (fori_loop body compiles
     once). Middle ground between the per-token host loop (dispatch-latency
@@ -373,6 +381,7 @@ def decode_chunk(
         hidden, cache = apply_llama(
             params["llama"], cfg.llama, inputs_embeds=emb[:, None, :],
             attn_mask=cache_mask, kv_cache=cache, attn_impl=attn_impl, lora=params.get("lora"),
+            tp_mesh=tp_mesh,
         )
         h = hidden[:, 0, :]
         logits = lm_logits(params["llama"], cfg.llama, h[:, None, :])[:, 0]
@@ -419,6 +428,7 @@ def generate_chunked(
     attn_impl: str = "auto",
     attn_mask=None,
     frame_map=None,
+    tp_mesh=None,
 ) -> SampleOutput:
     """Prefill + chunked decode. Same outputs as generate/generate_host.
 
@@ -440,6 +450,7 @@ def generate_chunked(
         params, cfg, input_ids, jnp.asarray(images), max_len, attn_impl,
         None if attn_mask is None else jnp.asarray(attn_mask),
         None if frame_map is None else jnp.asarray(frame_map),
+        tp_mesh=tp_mesh,
     )
     rng, r0 = jax.random.split(rng)
     token, waypoint = _first_token(
@@ -465,7 +476,7 @@ def generate_chunked(
             params, cfg, cache, cache_mask, token, waypoint, finished, rng,
             tuple(acc), produced,
             k=chunk, temperature=temperature, top_p=top_p, attn_impl=attn_impl,
-            eos_token_id=eos_token_id,
+            eos_token_id=eos_token_id, tp_mesh=tp_mesh,
         )
         produced += chunk
         finished_h = np.asarray(finished)  # the one sync per chunk
@@ -518,6 +529,7 @@ def generate_host(
     attn_impl: str = "auto",
     attn_mask=None,
     frame_map=None,
+    tp_mesh=None,
     on_token=None,
     stop_strs=None,
     tokenizer=None,
@@ -550,6 +562,7 @@ def generate_host(
         params, cfg, input_ids, jnp.asarray(images), max_len, attn_impl,
         None if attn_mask is None else jnp.asarray(attn_mask),
         None if frame_map is None else jnp.asarray(frame_map),
+        tp_mesh=tp_mesh,
     )
 
     rng, r0 = jax.random.split(rng)
@@ -593,6 +606,7 @@ def generate_host(
         token, waypoint, cache = decode_step(
             params, cfg, cache, cache_mask, jnp.asarray(tok_h), waypoint,
             r_step, temperature=temperature, top_p=top_p, attn_impl=attn_impl,
+            tp_mesh=tp_mesh,
         )
         tok_h = record(step, np.asarray(token), np.asarray(waypoint))
         step += 1

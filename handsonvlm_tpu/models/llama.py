@@ -145,6 +145,7 @@ def _layer(
     int4_stacked=None,
     layer_idx=None,
     stacked_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    tp_mesh=None,
 ):
     """One decoder block. Returns (hidden, (new_k_slice, new_v_slice)).
 
@@ -173,6 +174,12 @@ def _layer(
 
     def iproj(x, name):
         leaf = int4_stacked[name]
+        if tp_mesh is not None:
+            from handsonvlm_tpu.parallel.tp import int4_matmul_stacked_tp
+
+            return int4_matmul_stacked_tp(
+                x, leaf["w4"], leaf["gscale"], layer_idx, mesh=tp_mesh
+            )
         return int4_matmul_stacked(x, leaf["w4"], leaf["gscale"], layer_idx)
 
     x = rms_norm(hidden, lp["attn_norm"]["scale"], cfg.rms_norm_eps)
@@ -211,11 +218,21 @@ def _layer(
             and stacked_kernel_ok(ck.shape[2])
         )
         if use_kernel:
-            from handsonvlm_tpu.ops.decode_attention import decode_attention_stacked
+            if tp_mesh is not None:
+                from handsonvlm_tpu.parallel.tp import decode_attention_stacked_tp
 
-            out = decode_attention_stacked(
-                q, ck, cv, layer_idx, cache_index + 1, key_mask=key_mask
-            )
+                out = decode_attention_stacked_tp(
+                    q, ck, cv, layer_idx, cache_index + 1, key_mask=key_mask,
+                    mesh=tp_mesh,
+                )
+            else:
+                from handsonvlm_tpu.ops.decode_attention import (
+                    decode_attention_stacked,
+                )
+
+                out = decode_attention_stacked(
+                    q, ck, cv, layer_idx, cache_index + 1, key_mask=key_mask
+                )
         else:
             # XLA dots fuse the layer slice (no copy), unlike pallas operands.
             # Also serves small t>1 windows (speculative decode verify).
@@ -284,6 +301,7 @@ def apply_llama(
     remat: bool = False,
     lora: Optional[dict] = None,
     cache_scan_mode: str = "auto",
+    tp_mesh=None,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the decoder stack.
 
@@ -351,6 +369,7 @@ def apply_llama(
                     hidden, lp, cfg, cos, sin, key_mask, q_offset, None,
                     cache_index, attn_impl, lora_l, lora_scale,
                     int4_stacked, layer_idx, stacked_kv=(ck, cv),
+                    tp_mesh=tp_mesh,
                 )
                 return (hidden, ck, cv), None
 
@@ -375,7 +394,7 @@ def apply_llama(
                 hidden, (nk, nv) = _layer(
                     hidden, lp, cfg, cos, sin, key_mask, q_offset, (k_l, v_l),
                     cache_index, attn_impl, lora_l, lora_scale,
-                    int4_stacked, layer_idx,
+                    int4_stacked, layer_idx, tp_mesh=tp_mesh,
                 )
                 return hidden, (nk, nv)
 
@@ -400,7 +419,7 @@ def apply_llama(
             hidden, (nk, nv) = _layer(
                 hidden, lp, cfg, cos, sin, key_mask, q_offset, (k_l, v_l),
                 cache_index, attn_impl, lora_l, lora_scale,
-                int4_stacked, layer_idx,
+                int4_stacked, layer_idx, tp_mesh=tp_mesh,
             )
             ck = jax.lax.dynamic_update_index_in_dim(ck, nk, layer_idx, 0)
             cv = jax.lax.dynamic_update_index_in_dim(cv, nv, layer_idx, 0)
@@ -420,7 +439,7 @@ def apply_llama(
         hidden, _ = _layer(
             hidden, lp, cfg, cos, sin, key_mask, q_offset, None,
             cache_index, attn_impl, lora_l, lora_scale,
-            int4_stacked, layer_idx,
+            int4_stacked, layer_idx, tp_mesh=tp_mesh,
         )
         return hidden, None
 

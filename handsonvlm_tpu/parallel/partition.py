@@ -64,8 +64,23 @@ HEAD_RULES: List[Tuple[str, P]] = [
     (r"traj/.*bias$", P()),
 ]
 
+QUANT_RULES: List[Tuple[str, P]] = [
+    # int4 fused stacked leaves (L, G, g/2, n): column-parallel over `model`
+    # — matches the shard_map layout in parallel/tp.int4_matmul_stacked_tp
+    (r"/w4$", P(None, None, None, "model")),
+    (r"/gscale$", P(None, None, "model")),
+    # int8 per-projection leaves (L, din, dout): same layout as dense rules
+    (r"layers/attn/w[qkv]/w8$", P(None, "data", "model")),
+    (r"layers/attn/wo/w8$", P(None, "model", "data")),
+    (r"layers/mlp/w_(gate|up)/w8$", P(None, "data", "model")),
+    (r"layers/mlp/w_down/w8$", P(None, "model", "data")),
+    (r"lm_head/w8$", P("data", "model")),
+    # per-output-channel quant scales: small, replicate
+    (r"(wq|wk|wv|wo|w_gate|w_up|w_down|lm_head)/scale$", P()),
+]
+
 DEFAULT_RULES: List[Tuple[str, P]] = (
-    LLAMA_RULES + VISION_RULES + LORA_RULES + HEAD_RULES
+    QUANT_RULES + LLAMA_RULES + VISION_RULES + LORA_RULES + HEAD_RULES
 )
 
 
