@@ -249,7 +249,18 @@ class HFTokenizer:
     def __init__(self, path: str, model_max_length: int = 2048):
         import transformers
 
-        self.tok = transformers.AutoTokenizer.from_pretrained(path, use_fast=False)
+        try:
+            # the reference loads the slow sentencepiece tokenizer
+            # (builder.py:89 use_fast=False); environments without the
+            # sentencepiece package (this repo's CI) fall back to the fast
+            # tokenizer, which produces identical ids from the same vocab
+            self.tok = transformers.AutoTokenizer.from_pretrained(
+                path, use_fast=False
+            )
+        except Exception:
+            self.tok = transformers.AutoTokenizer.from_pretrained(
+                path, use_fast=True
+            )
         self.tok.model_max_length = model_max_length
         self.model_max_length = model_max_length
         # tokenizer surgery, replaying builder.py:113-152
