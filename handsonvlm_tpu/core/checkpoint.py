@@ -107,12 +107,34 @@ def has_artifact(out_dir: str, name: str) -> bool:
     return os.path.isdir(os.path.join(os.path.abspath(out_dir), name))
 
 
+def is_params_export(ckpt_dir: str) -> bool:
+    """True for a save_params export dir (<dir>/params orbax tree)."""
+    return os.path.exists(
+        os.path.join(ckpt_dir, "params", "_CHECKPOINT_METADATA")
+    )
+
+
+def is_trainer_output(ckpt_dir: str) -> bool:
+    """True for a trainer --output-dir (<dir>/checkpoints/<step> states)."""
+    return latest_step(os.path.join(ckpt_dir, "checkpoints")) is not None
+
+
 def restore_params(ckpt_dir: str, cfg=None, dtype=None) -> Any:
+    """Params from a save_params export or a trainer output dir (the latest
+    train-state checkpoint's params subtree)."""
     import orbax.checkpoint as ocp
 
-    path = os.path.join(os.path.abspath(ckpt_dir), "params")
     ckptr = ocp.StandardCheckpointer()
-    params = ckptr.restore(path)
+    if is_params_export(ckpt_dir):
+        path = os.path.join(os.path.abspath(ckpt_dir), "params")
+        params = ckptr.restore(path)
+    else:
+        cdir = os.path.join(os.path.abspath(ckpt_dir), "checkpoints")
+        step = latest_step(cdir)
+        if step is None:
+            raise ValueError(f"no params export or checkpoints in {ckpt_dir}")
+        state = ckptr.restore(os.path.join(cdir, str(step), "default"))
+        params = state["params"]
     if dtype is not None:
         params = jax.tree_util.tree_map(
             lambda x: x.astype(dtype) if hasattr(x, "astype") and np.issubdtype(x.dtype, np.floating) else x,

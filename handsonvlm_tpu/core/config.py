@@ -212,8 +212,28 @@ def vicuna_13b_config(**overrides) -> HandsOnVLMConfig:
     return dataclasses.replace(base, **overrides)
 
 
+def tiny224_config(**overrides) -> HandsOnVLMConfig:
+    """Tiny transformer dims at the REAL data interface: 224px frames, 100
+    frame slots, 356 visual tokens — drives the full EK pipeline (datasets
+    emit (100,3,224,224), epic_dataset.py:89-95) without 7B weights."""
+    base = tiny_config(
+        vision=ClipVisionConfig(
+            hidden_size=32,
+            intermediate_size=64,
+            num_layers=2,
+            num_heads=2,
+            image_size=224,
+            patch_size=14,
+        ),
+        num_frames=100,
+        max_length=2048,
+    )
+    return dataclasses.replace(base, **overrides)
+
+
 PRESETS = {
     "tiny": tiny_config,
+    "tiny224": tiny224_config,
     "7b": vicuna_7b_config,
     "13b": vicuna_13b_config,
 }

@@ -153,11 +153,18 @@ def load_pretrained_model(
     ):
         return _load_adapter_checkpoint(model_path, preset, dtype, _maybe_quantize)
 
-    if os.path.isdir(os.path.join(model_path, "orbax")) or os.path.exists(
-        os.path.join(model_path, "_CHECKPOINT_METADATA")
-    ):
-        from handsonvlm_tpu.core.checkpoint import restore_params
+    from handsonvlm_tpu.core.checkpoint import (
+        is_params_export,
+        is_trainer_output,
+        restore_params,
+    )
 
+    if (
+        os.path.isdir(os.path.join(model_path, "orbax"))
+        or os.path.exists(os.path.join(model_path, "_CHECKPOINT_METADATA"))
+        or is_params_export(model_path)
+        or is_trainer_output(model_path)
+    ):
         params = restore_params(model_path, cfg, dtype)
         return _maybe_quantize(params), cfg, load_tokenizer(model_path)
 
