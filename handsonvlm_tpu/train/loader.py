@@ -80,14 +80,20 @@ class PrefetchLoader:
         return {k: to_global(v) for k, v in batch.items()}
 
     def _produce(self, q: "queue.Queue"):
-        rng = np.random.default_rng(self.seed)
-        with ThreadPoolExecutor(self.num_workers) as pool:
-            for _ in range(self.num_steps):
-                idxs = self.local_indices(rng)
-                samples = list(pool.map(lambda i: self.dataset[int(i)], idxs))
-                batch = self.collate(samples)
-                batch = {k: v for k, v in batch.items() if k not in self.drop_keys}
-                q.put(self._stage(batch))
+        try:
+            rng = np.random.default_rng(self.seed)
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for _ in range(self.num_steps):
+                    idxs = self.local_indices(rng)
+                    samples = list(pool.map(lambda i: self.dataset[int(i)], idxs))
+                    batch = self.collate(samples)
+                    batch = {k: v for k, v in batch.items() if k not in self.drop_keys}
+                    q.put(self._stage(batch))
+        except BaseException as e:  # noqa: BLE001 — propagate to the consumer
+            # without this, a producer crash leaves __iter__ blocked on
+            # q.get() forever (observed: silent trainer hang)
+            q.put(e)
+            return
         q.put(None)
 
     def __iter__(self) -> Iterator[Dict]:
@@ -98,4 +104,6 @@ class PrefetchLoader:
             batch = q.get()
             if batch is None:
                 return
+            if isinstance(batch, BaseException):
+                raise batch
             yield batch

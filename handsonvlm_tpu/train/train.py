@@ -24,6 +24,9 @@ def main():
     p.add_argument("--model-path", default="random:tiny",
                    help="HF init checkpoint dir, orbax dir, or random:<preset>")
     p.add_argument("--preset", default="7b")
+    p.add_argument("--num-frames", type=int, default=0,
+                   help="override the preset's video frame slots "
+                        "(reference ModelArguments.num_frames; 0 = preset)")
     p.add_argument("--output-dir", required=True)
     p.add_argument("--ek-version", default="ek100")
     p.add_argument("--epochs", type=int, default=40)
@@ -59,7 +62,15 @@ def main():
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--max-steps", type=int, default=0, help="0 = epochs*spe/bs")
     p.add_argument("--tasks", default="epic_kitchen",
-                   help="|| separated: epic_kitchen, reasoning")
+                   help="|| separated: epic_kitchen, reasoning, pretrain, "
+                        "dvc, event_loc, imgqa, vidqa, temporal_reasoning "
+                        "(the reference's task mixture, arguments.py "
+                        "DataArguments.tasks + llava pretrain stage)")
+    p.add_argument("--data-path", default=None,
+                   help="root of the LITA/LLaVA task data (defaults to "
+                        "$HANDSONVLM_DATA_ROOT)")
+    p.add_argument("--task-sample-rates", default=None,
+                   help="comma list matching --tasks order (default uniform)")
     p.add_argument("--synthetic", type=int, default=0,
                    help="train on N synthetic samples (smoke runs without EK data)")
     args = p.parse_args()
@@ -101,6 +112,10 @@ def main():
     params, cfg, tokenizer = load_pretrained_model(
         args.model_path, args.preset, quantize=args.qlora
     )
+    if args.num_frames:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, num_frames=args.num_frames)
     freeze = ("vision",)
     if args.lora_r:
         from handsonvlm_tpu.models.lora import init_lora
@@ -155,22 +170,49 @@ def main():
             samples_per_epoch=args.samples_per_epoch,
         )
     else:
-        hoi = get_epic_hoi_dataset_by_name(
-            args.ek_version, "train", load_images=True,
-            rephrase_rate=args.rephrase_rate, use_percentage=args.use_percentage,
+        from handsonvlm_tpu.data.epic_constants import data_root
+        from handsonvlm_tpu.data.lita_datasets import (
+            LITA_DATASET_REGISTRY,
+            LlavaPretrainDataset,
         )
-        task_datasets = []
+
+        data_path = args.data_path or data_root()
         tasks = args.tasks.split("||")
-        group = []
-        if "epic_kitchen" in tasks:
-            group.append(EpicMultiturnConversationDataset(tokenizer, hoi))
-        if "reasoning" in tasks:
-            group.append(EpicReasoningConversationDataset(tokenizer, hoi))
-        if not group:
-            group.append(EpicConversationDataset(tokenizer, hoi))
-        task_datasets.append(group)
+        epic_names = {"epic_kitchen", "reasoning", "vanilla"}
+        task_datasets = []
+        if any(t in epic_names for t in tasks) or all(
+            t not in LITA_DATASET_REGISTRY and t != "pretrain" for t in tasks
+        ):
+            hoi = get_epic_hoi_dataset_by_name(
+                args.ek_version, "train", load_images=True,
+                rephrase_rate=args.rephrase_rate, use_percentage=args.use_percentage,
+            )
+            group = []
+            if "epic_kitchen" in tasks:
+                group.append(EpicMultiturnConversationDataset(tokenizer, hoi))
+            if "reasoning" in tasks:
+                group.append(EpicReasoningConversationDataset(tokenizer, hoi))
+            if not group:
+                group.append(EpicConversationDataset(tokenizer, hoi))
+            task_datasets.append(group)
+        for t in tasks:
+            if t == "pretrain":
+                # projector-pretraining stage (llava/train/train.py
+                # LazySupervisedDataset + plain template); pair with
+                # --tune-mm-mlp-adapter for the reference recipe
+                task_datasets.append([LlavaPretrainDataset(data_path, tokenizer)])
+            elif t in LITA_DATASET_REGISTRY:
+                task_datasets.append([
+                    cls(data_path, tokenizer)
+                    for cls in LITA_DATASET_REGISTRY[t].values()
+                ])
+        if args.task_sample_rates:
+            rates = [float(x) for x in args.task_sample_rates.split(",")]
+            assert len(rates) == len(task_datasets), (rates, len(task_datasets))
+        else:
+            rates = [1.0] * len(task_datasets)
         hybrid = HybridDataset(
-            task_datasets=task_datasets, task_sample_rate=[1.0],
+            task_datasets=task_datasets, task_sample_rate=rates,
             samples_per_epoch=args.samples_per_epoch,
         )
     collate = Collator(
