@@ -39,9 +39,17 @@ class InferenceEngine:
     pad_prompt_multiple: int = 32  # bucket prompt length to bound recompiles
     spec_k: int = 0  # >0: B=1 requests use speculative decode with K drafts
 
-    def build_prompt_ids(self, question: str) -> np.ndarray:
+    def build_prompt_ids(self, question: str, history=()) -> np.ndarray:
+        """`history` is past turns [(user, assistant), ...] for multi-turn
+        chat (gradio_web_server conversation state); the <image> token goes
+        on the FIRST human turn only (preprocess_multimodal contract)."""
         conv = conv_templates[self.conv_mode].copy()
-        conv.append_message(conv.roles[0], DEFAULT_IMAGE_TOKEN + "\n" + question)
+        for j, (user, assistant) in enumerate(history):
+            text = DEFAULT_IMAGE_TOKEN + "\n" + user if j == 0 else user
+            conv.append_message(conv.roles[0], text)
+            conv.append_message(conv.roles[1], assistant)
+        q = question if history else DEFAULT_IMAGE_TOKEN + "\n" + question
+        conv.append_message(conv.roles[0], q)
         conv.append_message(conv.roles[1], None)
         ids = tokenizer_image_token(conv.get_prompt(), self.tokenizer)
         return np.asarray(ids, np.int64)[None, :]
@@ -96,17 +104,25 @@ class InferenceEngine:
             attn[i, bucket - r.shape[0]:] = True
         return ids, attn
 
-    def infer(self, question: str, images: np.ndarray, rng: jax.Array, params=None):
+    def infer(self, question: str, images: np.ndarray, rng: jax.Array, params=None,
+              history=()):
         """question + (1,100,3,224,224) frames -> (pred (1,2,4,2), valid,
         generated ids). ``params`` overrides self.params for this call
-        (serving LoRA hot-swap: serve/lora_registry.py)."""
-        preds, valids, gen = self.infer_batch([question], images, rng, params=params)
+        (serving LoRA hot-swap: serve/lora_registry.py); ``history`` adds
+        past turns for multi-turn chat."""
+        preds, valids, gen = self.infer_batch(
+            [question], images, rng, params=params, histories=[history]
+        )
         return preds, valids, gen[0]
 
-    def infer_batch(self, questions, images: np.ndarray, rng: jax.Array, params=None):
+    def infer_batch(self, questions, images: np.ndarray, rng: jax.Array, params=None,
+                    histories=None):
         """Batched decode for serving: B questions + (B,T,...) frames ->
         (pred (B,2,4,2), valid (B,), [gen_ids per row])."""
-        rows = [self.build_prompt_ids(q)[0] for q in questions]
+        histories = histories or [()] * len(questions)
+        rows = [
+            self.build_prompt_ids(q, h)[0] for q, h in zip(questions, histories)
+        ]
         ids, attn = self._pad_to_bucket(rows)
         images, frame_map = self.dedup_frames(np.asarray(images))
         if self.spec_k > 0 and len(rows) == 1:

@@ -217,6 +217,7 @@ class ModelWorker:
                 pred, valid, gen_ids = self.engine.infer(
                     payload["prompt"], frames[None], jax.random.PRNGKey(self._seed),
                     params=params,
+                    history=[tuple(t) for t in payload.get("history", [])],
                 )
             text = (
                 self.engine.tokenizer.decode(gen_ids)
@@ -257,7 +258,10 @@ class ModelWorker:
             self._apply_options(payload)
             self._seed += 1
             req_params, _ = self._request_params(payload)
-            ids = self.engine.build_prompt_ids(payload["prompt"])
+            ids = self.engine.build_prompt_ids(
+                payload["prompt"],
+                history=[tuple(t) for t in payload.get("history", [])],
+            )
             # LEFT-pad to the engine's bucket size: one prefill compile per
             # bucket instead of one per prompt length (see InferenceEngine.infer)
             t = ids.shape[1]

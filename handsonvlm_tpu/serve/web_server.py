@@ -1,17 +1,24 @@
 """Web chat UI: browser frontend over the controller/worker stack.
 
 Replaces `llava/serve/gradio_web_server.py` (419 LoC of gradio plumbing)
-with a single-page stdlib app: image upload + prompt + sampling knobs,
-streamed token display (chunked transfer pass-through from the worker's
-/worker_generate_stream), and a client-side canvas overlay of the predicted
-hand trajectory — the browser analogue of the reference's trajectory-video
-render (handsonvlm/evaluation/utils.py:create_trajectory_video).
+with a single-page stdlib app covering the reference's feature set:
+image upload + prompt + sampling knobs, MULTI-TURN conversation state
+(history rides each /generate request and is rendered into the v1 conv
+template by the worker), regenerate/clear, streamed token display (chunked
+transfer pass-through from the worker's /worker_generate_stream), up/down/
+flag vote logging and per-request conversation logs ({date}-conv.json,
+gradio_web_server.py vote_last_response/get_conv_log_filename), and a
+client-side canvas overlay of the predicted hand trajectory — the browser
+analogue of the reference's trajectory-video render
+(handsonvlm/evaluation/utils.py:create_trajectory_video).
 
 Endpoints:
   GET  /            -> HTML page
   POST /list_models -> proxied controller /list_models
   POST /generate    -> resolves a worker via the controller, re-streams its
-                       \0-delimited JSON chunks to the browser
+                       \0-delimited JSON chunks to the browser, logs the
+                       finished conversation
+  POST /vote        -> append a vote record to the daily conv log
 
 Usage:
   python -m handsonvlm_tpu.serve.web_server --controller http://localhost:10000
@@ -33,6 +40,10 @@ PAGE = """<!doctype html>
  #overlay{position:absolute;left:0;top:0;pointer-events:none}
  .row{display:flex;gap:12px;align-items:center;flex-wrap:wrap}
  label{font-size:.9em;color:#444}
+ #chat{margin:8px 0}
+ .turn{padding:6px 10px;margin:3px 0;border-radius:8px;white-space:pre-wrap}
+ .turn.user{background:#eef}
+ .turn.asst{background:#efe}
 </style></head><body>
 <h2>HandsOnVLM &mdash; hand trajectory chat</h2>
 <div class="row">
@@ -46,13 +57,39 @@ PAGE = """<!doctype html>
  <div id="wrap"><img id="preview" style="max-width:456px;display:none">
   <canvas id="overlay"></canvas></div>
 </div>
+<div id="chat"></div>
 <textarea id="prompt" rows="2" style="width:100%"
  placeholder="Where should my hand move to reach for the cup?"></textarea>
-<button id="go">Send</button>
+<div class="row">
+ <button id="go">Send</button>
+ <button id="regen">Regenerate</button>
+ <button id="clear">Clear history</button>
+ <button id="up">&#128077;</button>
+ <button id="down">&#128078;</button>
+ <button id="flag">&#9873;</button>
+</div>
 <h3>Response</h3><div id="out"></div>
 <script>
 const $ = id => document.getElementById(id);
 let imgB64 = null;
+let history = [];  // [[user, assistant], ...] — multi-turn state
+let lastPrompt = null;
+function renderChat(){
+  const c=$('chat'); c.innerHTML='';
+  for (const [u,a] of history){
+    const du=document.createElement('div'); du.className='turn user'; du.textContent='USER: '+u;
+    const da=document.createElement('div'); da.className='turn asst'; da.textContent='ASSISTANT: '+a;
+    c.append(du, da);
+  }
+}
+function vote(kind){
+  fetch('/vote', {method:'POST', body: JSON.stringify({type:kind,
+    model: $('model').value, history: history, state: lastPrompt})});
+}
+$('up').onclick=()=>vote('upvote'); $('down').onclick=()=>vote('downvote');
+$('flag').onclick=()=>vote('flag');
+$('clear').onclick=()=>{history=[]; renderChat(); $('out').textContent='';};
+$('regen').onclick=()=>{ if(history.length){const [u,_]=history.pop(); renderChat(); send(u);} };
 fetch('/list_models', {method:'POST'}).then(r=>r.json()).then(d=>{
   for (const m of d.models) { const o=document.createElement('option'); o.textContent=m; $('model').append(o); }
 });
@@ -88,11 +125,14 @@ function drawTraj(pred) {
       ctx.beginPath();ctx.arc(p[0]*c.width,p[1]*c.height,4,0,7);ctx.fill();});
   });
 }
-$('go').onclick = async () => {
+async function send(promptText){
   $('out').textContent=''; $('go').disabled=true;
+  lastPrompt = promptText;
+  let finalText = '';
   try {
     const resp = await fetch('/generate', {method:'POST', body: JSON.stringify({
-      model: $('model').value, prompt: $('prompt').value, image_b64: imgB64,
+      model: $('model').value, prompt: promptText, image_b64: imgB64,
+      history: history,
       temperature: +$('temp').value, top_p: +$('topp').value,
       max_new_tokens: +$('maxtok').value})});
     const reader = resp.body.getReader(); const dec = new TextDecoder();
@@ -104,12 +144,14 @@ $('go').onclick = async () => {
       for (const p of parts) { if (!p) continue;
         const d = JSON.parse(p);
         if (d.error_code) { $('out').textContent = 'error: ' + d.error; continue; }
-        $('out').textContent = d.text;
+        finalText = d.text; $('out').textContent = d.text;
         if (d.pred_hands && d.trajectory_valid) drawTraj(d.pred_hands);
       }
     }
+    if (finalText) { history.push([promptText, finalText]); renderChat(); }
   } finally { $('go').disabled=false; }
-};
+}
+$('go').onclick = () => send($('prompt').value);
 </script></body></html>
 """
 
@@ -148,8 +190,31 @@ def violates_moderation(text: str) -> bool:
         return False
 
 
+def _conv_log_path(logdir: str) -> str:
+    """Daily conversation log (reference get_conv_log_filename:
+    {date}-conv.json, one JSON record per line)."""
+    import datetime
+    import os
+
+    name = datetime.datetime.now().strftime("%Y-%m-%d") + "-conv.json"
+    os.makedirs(logdir, exist_ok=True)
+    return os.path.join(logdir, name)
+
+
+def _append_log(logdir: str, record: dict) -> None:
+    import time as _time
+
+    record = dict(record, tstamp=round(_time.time(), 4))
+    record.pop("image_b64", None)  # don't persist raw image payloads
+    try:
+        with open(_conv_log_path(logdir), "a") as f:
+            f.write(json.dumps(record) + "\n")
+    except OSError:
+        pass
+
+
 def serve_web(controller_addr: str, host: str = "0.0.0.0", port: int = 7860,
-              moderate: bool = False):
+              moderate: bool = False, logdir: str = "logs"):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
             pass
@@ -179,6 +244,15 @@ def serve_web(controller_addr: str, host: str = "0.0.0.0", port: int = 7860,
                 self._send(200, json.dumps(models).encode())
             elif self.path == "/generate":
                 self._proxy_generate(data)
+            elif self.path == "/vote":
+                # gradio_web_server vote_last_response equivalent
+                _append_log(logdir, {
+                    "type": data.get("type", "vote"),
+                    "model": data.get("model"),
+                    "history": data.get("history"),
+                    "state": data.get("state"),
+                })
+                self._send(200, b'{"ok": true}')
             else:
                 self._send(404, b'{"error": "unknown path"}')
 
@@ -211,6 +285,7 @@ def serve_web(controller_addr: str, host: str = "0.0.0.0", port: int = 7860,
             self.send_header("Content-Type", "application/octet-stream")
             self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()
+            tail = b""
             try:
                 while True:
                     # read1: at most one upstream chunk — read(n) would loop
@@ -218,6 +293,7 @@ def serve_web(controller_addr: str, host: str = "0.0.0.0", port: int = 7860,
                     chunk = upstream.read1(4096)
                     if not chunk:
                         break
+                    tail = (tail + chunk)[-8192:]
                     self.wfile.write(f"{len(chunk):x}\r\n".encode() + chunk + b"\r\n")
                     self.wfile.flush()
                 self.wfile.write(b"0\r\n\r\n")
@@ -225,6 +301,23 @@ def serve_web(controller_addr: str, host: str = "0.0.0.0", port: int = 7860,
                 pass
             finally:
                 upstream.close()
+            # log the finished conversation (reference logs per finished
+            # http_bot round); final worker chunk carries the full text
+            final = {}
+            for part in tail.split(b"\0"):
+                if part.strip():
+                    try:
+                        final = json.loads(part)
+                    except json.JSONDecodeError:
+                        pass
+            _append_log(logdir, {
+                "type": "chat",
+                "model": data.get("model"),
+                "prompt": data.get("prompt"),
+                "history": data.get("history"),
+                "text": final.get("text"),
+                "trajectory_valid": final.get("trajectory_valid"),
+            })
 
     return ThreadingHTTPServer((host, port), Handler)
 
@@ -238,8 +331,11 @@ def main():
     p.add_argument("--controller", default="http://localhost:10000")
     p.add_argument("--moderate", action="store_true",
                    help="OpenAI moderation gate on prompts (needs OPENAI_API_KEY)")
+    p.add_argument("--logdir", default="logs",
+                   help="vote + conversation logs ({date}-conv.json)")
     args = p.parse_args()
-    server = serve_web(args.controller, args.host, args.port, moderate=args.moderate)
+    server = serve_web(args.controller, args.host, args.port,
+                       moderate=args.moderate, logdir=args.logdir)
     print(f"web UI on http://{args.host}:{args.port} (controller {args.controller})")
     server.serve_forever()
 

@@ -73,7 +73,7 @@ def test_http_roundtrip_controller():
         controller.stop()
 
 
-def test_worker_generate_e2e():
+def test_worker_generate_e2e(tmp_path):
     """Full loop: controller + tiny-model worker + generate request,
     the streamed variant, and the web UI proxy on top."""
     from handsonvlm_tpu.serve.model_worker import ModelWorker, serve_worker
@@ -94,7 +94,7 @@ def test_worker_generate_e2e():
     # register with the real worker port so the web proxy can reach it
     worker.worker_addr = f"http://127.0.0.1:{w_port}"
     worker.register()
-    web_server = serve_web(ctrl_addr, "127.0.0.1", 0)
+    web_server = serve_web(ctrl_addr, "127.0.0.1", 0, logdir=str(tmp_path))
     web_port = web_server.server_address[1]
     threading.Thread(target=web_server.serve_forever, daemon=True).start()
     try:
@@ -148,6 +148,74 @@ def test_worker_generate_e2e():
             assert False, "expected 503"
         except urllib.error.HTTPError as e:
             assert e.code == 503
+    finally:
+        web_server.shutdown()
+        w_server.shutdown()
+        ctrl_server.shutdown()
+        worker.stop()
+        controller.stop()
+
+
+def test_multiturn_history_and_vote_logging(tmp_path):
+    """Multi-turn chat state + vote/conversation logs (the reference
+    gradio_web_server's conversation state, vote_last_response, and
+    {date}-conv.json logging)."""
+    import os
+
+    from handsonvlm_tpu.serve.model_worker import ModelWorker, serve_worker
+    from handsonvlm_tpu.serve.web_server import serve_web
+
+    controller, ctrl_server = serve_controller("127.0.0.1", 0)
+    ctrl_port = ctrl_server.server_address[1]
+    threading.Thread(target=ctrl_server.serve_forever, daemon=True).start()
+    ctrl_addr = f"http://127.0.0.1:{ctrl_port}"
+    worker = ModelWorker(
+        ctrl_addr, "http://127.0.0.1:0", "random:tiny", preset="tiny",
+        model_name="handsonvlm-tiny",
+    )
+    w_server = serve_worker(worker, "127.0.0.1", 0)
+    w_port = w_server.server_address[1]
+    threading.Thread(target=w_server.serve_forever, daemon=True).start()
+    worker.worker_addr = f"http://127.0.0.1:{w_port}"
+    worker.register()
+    web_server = serve_web(ctrl_addr, "127.0.0.1", 0, logdir=str(tmp_path))
+    web_port = web_server.server_address[1]
+    threading.Thread(target=web_server.serve_forever, daemon=True).start()
+    web = f"http://127.0.0.1:{web_port}"
+    try:
+        # turn-2 request carries turn-1 history; the worker renders both
+        # turns into the v1 template (engine.build_prompt_ids)
+        out = _post(
+            f"http://127.0.0.1:{w_port}/worker_generate",
+            {"prompt": "And after that?", "max_new_tokens": 3,
+             "history": [["Where should my hand move?", "To the cup."]]},
+            timeout=300,
+        )
+        assert out["error_code"] == 0
+
+        # the prompt with history must be strictly longer than without
+        from handsonvlm_tpu.eval.evaluator import InferenceEngine
+
+        eng = worker.engine
+        plain = eng.build_prompt_ids("And after that?")
+        multi = eng.build_prompt_ids(
+            "And after that?", history=[("Where should my hand move?", "To the cup.")]
+        )
+        assert multi.shape[1] > plain.shape[1]
+        # <image> sentinel appears exactly once, on the first turn
+        assert (multi == -200).sum() == 1
+
+        # vote logging
+        _post(web + "/vote", {"type": "upvote", "model": "handsonvlm-tiny",
+                              "history": [["q", "a"]]})
+        logs = [f for f in os.listdir(tmp_path) if f.endswith("-conv.json")]
+        assert logs, os.listdir(tmp_path)
+        records = [
+            json.loads(line)
+            for line in open(os.path.join(tmp_path, logs[0]))
+        ]
+        assert any(r["type"] == "upvote" for r in records)
+        assert all("tstamp" in r for r in records)
     finally:
         web_server.shutdown()
         w_server.shutdown()
