@@ -174,13 +174,16 @@ def _layer(
 
     def iproj(x, name):
         leaf = int4_stacked[name]
+        # tiled (w4t/gst, production) or flat (w4/gscale) packed layout
+        w, g = (
+            (leaf["w4t"], leaf["gst"]) if "w4t" in leaf
+            else (leaf["w4"], leaf["gscale"])
+        )
         if tp_mesh is not None:
             from handsonvlm_tpu.parallel.tp import int4_matmul_stacked_tp
 
-            return int4_matmul_stacked_tp(
-                x, leaf["w4"], leaf["gscale"], layer_idx, mesh=tp_mesh
-            )
-        return int4_matmul_stacked(x, leaf["w4"], leaf["gscale"], layer_idx)
+            return int4_matmul_stacked_tp(x, w, g, layer_idx, mesh=tp_mesh)
+        return int4_matmul_stacked(x, w, g, layer_idx)
 
     x = rms_norm(hidden, lp["attn_norm"]["scale"], cfg.rms_norm_eps)
     if int4_stacked is not None:

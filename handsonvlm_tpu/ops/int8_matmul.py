@@ -248,16 +248,20 @@ def init_llama_int4(rng: jax.Array, cfg, dtype=jnp.bfloat16, group: int = None) 
     def draw(key, din, dout):
         g = group if din % group == 0 else math.gcd(din, group)
         G = din // g
-        w4 = jax.random.randint(
-            key, (L, G, g // 2, dout), -128, 128, jnp.int32).astype(jnp.int8)
+        bn = _pick_block_n(dout, G * (g // 2))
+        nb = dout // bn
+        # drawn DIRECTLY in the tiled layout (tile_int4_stacked) — no flat
+        # transient (values are random either way)
+        w4t = jax.random.randint(
+            key, (L, nb, G, g // 2, bn), -128, 128, jnp.int32).astype(jnp.int8)
         # flat scale sized so dequantized std ~ 0.02 (uniform int4 std ~4.6)
-        gs = jnp.full((L, G, dout), 0.02 / 4.6, jnp.float32)
-        return {"w4": w4, "gscale": gs}
+        gst = jnp.full((L, nb, G, bn), 0.02 / 4.6, jnp.float32)
+        return {"w4t": w4t, "gst": gst}
 
     int4 = {}
     for key, (name, (din, dout)) in zip(keys[1:], shapes.items()):
         int4[name] = draw(key, din, dout)
-        jax.block_until_ready(int4[name]["w4"])
+        jax.block_until_ready(int4[name]["w4t"])
 
     @jax.jit
     def init_small(key):
@@ -423,6 +427,67 @@ def int4_matmul(x: jnp.ndarray, w4: jnp.ndarray, gscale: jnp.ndarray) -> jnp.nda
     return out[:m, :n].reshape(shape[:-1] + (n,)).astype(x.dtype)
 
 
+def tile_int4_stacked(w4_all: jnp.ndarray, gs_all: jnp.ndarray,
+                      block_n: int = None) -> dict:
+    """Re-layout stacked packed weights into contiguous per-block tiles:
+
+      w4 (L, G, g/2, n) -> w4t (L, NB, G, g/2, BN),  gs -> gst (L, NB, G, BN)
+
+    Why: the GEMV kernel's weight block [l, :, :, j*bn:(j+1)*bn] on the
+    (L, G, g/2, n) layout is a strided DMA of G*g/2 rows x bn bytes (512 B
+    rows at 7B) — measured ~410 GB/s effective vs 748 GB/s raw contiguous
+    int8 DMA (tools/perf_pallas_dma.py). With the tile as the minor
+    dimensions each grid step reads ONE contiguous G*g/2*BN-byte block
+    (~1 MB at 7B), restoring full-rate streaming. BN is frozen at quantize
+    time with the same rule the kernel uses (_pick_block_n)."""
+    L, G, half, n = w4_all.shape
+    bn = block_n or _pick_block_n(n, G * half)
+    nb = n // bn
+    assert nb * bn == n, (n, bn)
+    w4t = jnp.transpose(w4_all.reshape(L, G, half, nb, bn), (0, 3, 1, 2, 4))
+    gst = jnp.transpose(gs_all.reshape(L, G, nb, bn), (0, 2, 1, 3))
+    return {"w4t": w4t, "gst": gst}
+
+
+def _int4_gemv_tiled(x, w4t, gst, layer_idx):
+    """Decode-sized x @ dequant(tiled w4t[layer_idx]) — one contiguous
+    weight tile per grid step (see tile_int4_stacked)."""
+    shape = x.shape
+    L, NB, G, half, BN = w4t.shape
+    d = G * half * 2
+    x2 = x.reshape(-1, d).astype(jnp.float32)
+    m = x2.shape[0]
+    block_m, _ = _pick_blocks_int4(m, G, half, BN)
+    m_pad = _cdiv(m, block_m) * block_m
+    if m_pad != m:
+        x2 = jnp.pad(x2, [(0, m_pad - m), (0, 0)])
+    xlo, xc, sx8 = _split_x_halves(x2, G, half * 2)
+
+    def kernel(l_ref, *refs):
+        _gemv4_kernel(*refs)  # block shapes reshape via shape[-3:]/[-2:]
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(m_pad // block_m, NB),
+            in_specs=[
+                pl.BlockSpec((G, block_m, half), lambda i, j, l: (0, i, 0)),
+                pl.BlockSpec((G, block_m, half), lambda i, j, l: (0, i, 0)),
+                pl.BlockSpec((block_m, G), lambda i, j, l: (i, 0)),
+                pl.BlockSpec(
+                    (1, 1, G, half, BN), lambda i, j, l: (l[0], j, 0, 0, 0)
+                ),
+                pl.BlockSpec((1, 1, G, BN), lambda i, j, l: (l[0], j, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((block_m, BN), lambda i, j, l: (i, j)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((m_pad, NB * BN), jnp.float32),
+        interpret=_interpret(),
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), xlo, xc, sx8, w4t, gst)
+    return out[:m].reshape(shape[:-1] + (NB * BN,)).astype(x.dtype)
+
+
 def _prefill4_kernel(xr_ref, w_ref, s_ref, o_ref, acc_ref):
     # xr (bm, bk) bf16; w (1, GK, g/2, bn) packed int8; s (1, GK, 1, bn) f32
     # (4D so the block's constrained last-two dims are (1, bn), not (GK, bn)
@@ -522,6 +587,71 @@ def int4_matmul_prefill(
     return out[:m, :n].reshape(shape[:-1] + (n,)).astype(x.dtype)
 
 
+def _prefill4_tiled_kernel(xr_ref, w_ref, s_ref, o_ref, acc_ref):
+    # tiled-layout variant of _prefill4_kernel: w (1,1,gk,g/2,BN) contiguous
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    p = w_ref[0, 0].astype(jnp.int32)  # (gk, g/2, BN)
+    sc = s_ref[0, 0].astype(jnp.bfloat16)[:, None, :]  # (gk, 1, BN)
+    lo = ((p & 0x0F) - 8).astype(jnp.bfloat16) * sc
+    hi = (p >> 4).astype(jnp.bfloat16) * sc
+    gk, half, bn = lo.shape
+    wdq = jnp.concatenate([lo, hi], axis=1).reshape(gk * 2 * half, bn)
+    acc_ref[:] += jax.lax.dot_general(
+        xr_ref[:], wdq, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ki == pl.num_programs(2) - 1)
+    def _done():
+        o_ref[:] = acc_ref[:]
+
+
+def int4_matmul_prefill_tiled(x, w4t, gst, layer_idx):
+    """Prefill-sized matmul over the tiled layout (int4_matmul_prefill
+    semantics; see tile_int4_stacked for the layout)."""
+    shape = x.shape
+    L, NB, G, half, BN = w4t.shape
+    group = half * 2
+    d = G * group
+    x2 = x.reshape(-1, d).astype(jnp.bfloat16)
+    m = x2.shape[0]
+    block_m, _, block_k = _prefill4_blocks(m, d, BN, group)
+    gk = block_k // group
+    m_pad = _cdiv(m, block_m) * block_m
+    if m_pad != m:
+        x2 = jnp.pad(x2, [(0, m_pad - m), (0, 0)])
+
+    def kernel(l_ref, *refs):
+        _prefill4_tiled_kernel(*refs)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(m_pad // block_m, NB, d // block_k),
+            in_specs=[
+                pl.BlockSpec((block_m, block_k), lambda i, j, ki, l: (i, ki)),
+                pl.BlockSpec(
+                    (1, 1, gk, half, BN), lambda i, j, ki, l: (l[0], j, ki, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, gk, BN), lambda i, j, ki, l: (l[0], j, ki, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec((block_m, BN), lambda i, j, ki, l: (i, j)),
+            scratch_shapes=[pltpu.VMEM((block_m, BN), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((m_pad, NB * BN), jnp.float32),
+        interpret=_interpret(),
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), x2, w4t, gst)
+    return out[:m].reshape(shape[:-1] + (NB * BN,)).astype(x.dtype)
+
+
 def _prefill4t_kernel(dy_ref, w_ref, s_ref, o_ref, acc_ref):
     # Transpose product for the VJP: dx_block (bm, bd) += dy (bm, bn) @
     # dequant(w)^T. Same VMEM dequant as _prefill4_kernel; the dot
@@ -555,6 +685,73 @@ def _pick_div(total: int, candidates, fallback: int) -> int:
     return fallback
 
 
+def _prefill4t_tiled_kernel(dy_ref, w_ref, s_ref, o_ref, acc_ref):
+    # tiled-layout transpose product: dx (bm, bd) += dy (bm, BN) @ W^T
+    ni = pl.program_id(2)
+
+    @pl.when(ni == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    p = w_ref[0, 0].astype(jnp.int32)  # (gk, g/2, BN)
+    sc = s_ref[0, 0].astype(jnp.bfloat16)[:, None, :]
+    lo = ((p & 0x0F) - 8).astype(jnp.bfloat16) * sc
+    hi = (p >> 4).astype(jnp.bfloat16) * sc
+    gk, half, bn = lo.shape
+    wdq = jnp.concatenate([lo, hi], axis=1).reshape(gk * 2 * half, bn)
+    acc_ref[:] += jax.lax.dot_general(
+        dy_ref[:], wdq, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ni == pl.num_programs(2) - 1)
+    def _done():
+        o_ref[:] = acc_ref[:]
+
+
+def _int4_stacked_T_tiled(dy, w4t, gst, layer_idx):
+    shape = dy.shape
+    L, NB, G, half, BN = w4t.shape
+    group = half * 2
+    d = G * group
+    dy2 = dy.reshape(-1, NB * BN).astype(jnp.bfloat16)
+    m = dy2.shape[0]
+    block_m = min(256, max(m, 8))
+    cand = tuple(c for c in (512, 256, 128) if c <= INT4_T_BD)
+    bd = _pick_div(d, cand, d)
+    if bd % group or d % bd:
+        bd = d
+    gk = bd // group
+    m_pad = _cdiv(m, block_m) * block_m
+    if m_pad != m:
+        dy2 = jnp.pad(dy2, [(0, m_pad - m), (0, 0)])
+
+    def kernel(l_ref, *refs):
+        _prefill4t_tiled_kernel(*refs)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(m_pad // block_m, d // bd, NB),
+            in_specs=[
+                pl.BlockSpec((block_m, BN), lambda i, di, ni, l: (i, ni)),
+                pl.BlockSpec(
+                    (1, 1, gk, half, BN), lambda i, di, ni, l: (l[0], ni, di, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, gk, BN), lambda i, di, ni, l: (l[0], ni, di, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec((block_m, bd), lambda i, di, ni, l: (i, di)),
+            scratch_shapes=[pltpu.VMEM((block_m, bd), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((m_pad, d), jnp.float32),
+        interpret=_interpret(),
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), dy2, w4t, gst)
+    return out[:m, :d].reshape(shape[:-1] + (d,)).astype(dy.dtype)
+
+
 def int4_matmul_stacked_T(
     dy: jnp.ndarray, w4_all: jnp.ndarray, gs_all: jnp.ndarray, layer_idx
 ) -> jnp.ndarray:
@@ -562,6 +759,8 @@ def int4_matmul_stacked_T(
     int4_matmul_stacked w.r.t. its input (QLoRA: gradients flow THROUGH the
     frozen int4 projections to earlier layers and the LoRA adapters, which
     is all a frozen-base fine-tune needs — no weight gradients)."""
+    if w4_all.ndim == 5:  # tiled layout (tile_int4_stacked)
+        return _int4_stacked_T_tiled(dy, w4_all, gs_all, layer_idx)
     shape = dy.shape
     L, G, half, n = w4_all.shape
     group = half * 2
@@ -629,7 +828,16 @@ def _int4_matmul_stacked_impl(
     Prefill-sized inputs (m >= INT4_PREFILL_MIN_M rows) dispatch to
     int4_matmul_prefill: dequant-to-bf16 full-contraction MXU dots beat the
     group-batched GEMV formulation once compute (not weight streaming)
-    dominates."""
+    dominates.
+
+    Accepts either layout: 4-D (L, G, g/2, n) flat, or the 5-D tiled
+    (L, NB, G, g/2, BN) from tile_int4_stacked (contiguous weight-tile DMA
+    — the production layout)."""
+    if w4_all.ndim == 5:
+        nrows = int(np.prod(x.shape[:-1])) if x.shape[:-1] else 1
+        if nrows >= INT4_PREFILL_MIN_M:
+            return int4_matmul_prefill_tiled(x, w4_all, gs_all, layer_idx)
+        return _int4_gemv_tiled(x, w4_all, gs_all, layer_idx)
     shape = x.shape
     L, G, half, n = w4_all.shape
     d = G * half * 2
@@ -715,8 +923,9 @@ def quantize_llama_int4(llama_params: dict, group: int = INT4_GROUP) -> dict:
             quantize_int4(jnp.concatenate([w[i] for w in ws], axis=1), group)
             for i in range(L)
         ]
-        return {"w4": jnp.stack([q["w4"] for q in qs]),
-                "gscale": jnp.stack([q["gscale"] for q in qs])}
+        w4 = jnp.stack([q["w4"] for q in qs])
+        gs = jnp.stack([q["gscale"] for q in qs])
+        return tile_int4_stacked(w4, gs)
 
     out["layers"] = {
         "int4": {k: quant_stacked(v) for k, v in fused.items()},

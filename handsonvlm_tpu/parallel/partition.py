@@ -69,6 +69,9 @@ QUANT_RULES: List[Tuple[str, P]] = [
     # — matches the shard_map layout in parallel/tp.int4_matmul_stacked_tp
     (r"/w4$", P(None, None, None, "model")),
     (r"/gscale$", P(None, None, "model")),
+    # tiled int4 layout (L, NB, G, g/2, BN): column tiles over model
+    (r"/w4t$", P(None, "model", None, None, None)),
+    (r"/gst$", P(None, "model", None, None)),
     # int8 per-projection leaves (L, din, dout): same layout as dense rules
     (r"layers/attn/w[qkv]/w8$", P(None, "data", "model")),
     (r"layers/attn/wo/w8$", P(None, "model", "data")),

@@ -119,10 +119,20 @@ def int4_matmul_stacked_tp(
     activation — no collectives in the op itself (the classic Megatron
     column-parallel layout, but weight-only-quantized)."""
     tp = tp_size(mesh, axis)
-    n = w4_all.shape[-1]
-    # local column count must still satisfy the kernel's lane-blocking rules
-    # (any block size works in interpret mode — CPU-mesh tests)
-    if tp == 1 or n % tp or (not _interpret() and (n // tp) % 128):
+    tiled = w4_all.ndim == 5  # (L, NB, G, g/2, BN) tile_int4_stacked layout
+    if tiled:
+        nblocks = w4_all.shape[1]
+        ok = tp > 1 and nblocks % tp == 0
+        wspec = P(None, axis, None, None, None)
+        gspec = P(None, axis, None, None)
+    else:
+        n = w4_all.shape[-1]
+        # local column count must still satisfy the kernel's lane-blocking
+        # rules (any block size works in interpret mode — CPU-mesh tests)
+        ok = tp > 1 and n % tp == 0 and (_interpret() or (n // tp) % 128 == 0)
+        wspec = P(None, None, None, axis)
+        gspec = P(None, None, axis)
+    if not ok:
         return int4_matmul_stacked(x, w4_all, gs_all, layer_idx)
 
     nb = x.ndim - 1
@@ -134,12 +144,7 @@ def int4_matmul_stacked_tp(
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(
-            xspec,
-            P(None, None, None, axis),
-            P(None, None, axis),
-            P(),
-        ),
+        in_specs=(xspec, wspec, gspec, P()),
         out_specs=P(*([None] * nb), axis),
         check_vma=False,  # pallas_call outputs carry no vma type info
     )(x, w4_all, gs_all, jnp.asarray(layer_idx, jnp.int32))

@@ -111,8 +111,9 @@ def test_int4_full_model_decode():
 
     params, cfg, tok = load_pretrained_model("random:tiny", "tiny", quantize="int4")
     leaf = params["llama"]["layers"]["int4"]["wqkv"]  # fused stacked leaves
-    assert "w4" in leaf and leaf["w4"].dtype == jnp.int8  # nibble-packed
-    assert leaf["w4"].ndim == 4  # (L, G, g/2, n) for scalar-prefetch indexing
+    assert "w4t" in leaf and leaf["w4t"].dtype == jnp.int8  # nibble-packed
+    # (L, NB, G, g/2, BN) tiled layout: contiguous per-block weight DMA
+    assert leaf["w4t"].ndim == 5
     rng = np.random.default_rng(1)
     ids = rng.integers(3, 1000, size=(1, 10)); ids[0, 1] = -200
     images = rng.normal(size=(1, cfg.num_frames, 3, cfg.vision.image_size,
