@@ -231,3 +231,69 @@ def test_quantized_inits_emit_int8_lm_head():
     dense = init_llama(jax.random.PRNGKey(0), CFG)
     assert "w8" in quantize_llama(dense)["lm_head"]
     assert "w8" in quantize_llama_int4(dense)["lm_head"]
+
+
+def test_int4_tiled_layout_parity():
+    """tile_int4_stacked: tiled GEMV / prefill / transpose all match the
+    flat-layout kernels (which match exact dequant; tests above)."""
+    import jax
+    import jax.numpy as jnp
+
+    from handsonvlm_tpu.ops.int8_matmul import (
+        int4_matmul_stacked,
+        int4_matmul_stacked_T,
+        quantize_int4,
+        tile_int4_stacked,
+    )
+
+    rng = np.random.default_rng(0)
+    L, d, n = 2, 64, 64
+    w = rng.normal(size=(L, d, n)).astype(np.float32) * 0.05
+    qs = [quantize_int4(jnp.asarray(w[i]), group=32) for i in range(L)]
+    w4 = jnp.stack([q["w4"] for q in qs])
+    gs = jnp.stack([q["gscale"] for q in qs])
+    tiled = tile_int4_stacked(w4, gs, block_n=16)
+    assert tiled["w4t"].shape == (L, 4, 2, 16, 16)  # (L, NB, G, g/2, BN)
+
+    for m in (2, 200):  # GEMV path and the prefill (m>=128) path
+        x = jnp.asarray(rng.normal(size=(m, d)), jnp.float32)
+        for li in range(L):
+            ref = int4_matmul_stacked(x, w4, gs, jnp.int32(li))
+            got = int4_matmul_stacked(
+                x, tiled["w4t"], tiled["gst"], jnp.int32(li)
+            )
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=2e-2, atol=1e-4
+            )
+
+    # transpose (QLoRA dx) parity
+    dy = jnp.asarray(rng.normal(size=(4, n)), jnp.float32)
+    ref = int4_matmul_stacked_T(dy, w4, gs, jnp.int32(1))
+    got = int4_matmul_stacked_T(dy, tiled["w4t"], tiled["gst"], jnp.int32(1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2, atol=1e-4)
+
+
+def test_int4_tiled_custom_vjp_grad_flows():
+    """jax.grad through the tiled layout (QLoRA backward path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from handsonvlm_tpu.ops.int8_matmul import (
+        int4_matmul_stacked,
+        quantize_int4,
+        tile_int4_stacked,
+    )
+
+    rng = np.random.default_rng(1)
+    w = rng.normal(size=(1, 32, 32)).astype(np.float32) * 0.05
+    q = quantize_int4(jnp.asarray(w[0]), group=16)
+    tiled = tile_int4_stacked(q["w4"][None], q["gscale"][None], block_n=16)
+
+    def f(x):
+        return int4_matmul_stacked(
+            x, tiled["w4t"], tiled["gst"], jnp.int32(0)
+        ).sum()
+
+    g = jax.grad(f)(jnp.asarray(rng.normal(size=(2, 32)), jnp.float32))
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(np.abs(np.asarray(g)).sum()) > 0
