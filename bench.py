@@ -276,7 +276,71 @@ MODE_ENV = {
     "seq": {"HANDSONVLM_BENCH_QUANT": "int4", "HANDSONVLM_BENCH_SPEC": "0"},
     "int8": {"HANDSONVLM_BENCH_QUANT": "int8", "HANDSONVLM_BENCH_SPEC": "0"},
     "bf16": {"HANDSONVLM_BENCH_QUANT": "", "HANDSONVLM_BENCH_SPEC": "0"},
+    "train": {"HANDSONVLM_BENCH_TRAIN": "1"},
 }
+
+
+def run_train_single():
+    """7B QLoRA SFT step throughput (the reference's primary workload,
+    scripts/finetune.sh; measured state in docs/PERF_NOTES.md 'Training
+    throughput'). One EK-shaped batch, K steps, tokens/s."""
+    t_start = time.time()
+    preset = os.environ.get("HANDSONVLM_BENCH_PRESET", "7b")
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        cache_dir = os.environ.get(
+            "HANDSONVLM_JAX_CACHE", os.path.expanduser("~/.cache/handsonvlm_jax")
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+    from handsonvlm_tpu.infer.builder import load_pretrained_model
+    from handsonvlm_tpu.models.lora import init_lora
+    from handsonvlm_tpu.train.step import make_train_step
+    from handsonvlm_tpu.train.train_state import create_train_state, make_optimizer
+    from tools.perf_train_step import flops_per_step, make_batch
+
+    params, cfg, _ = load_pretrained_model(
+        f"random:{preset}", preset, quantize="int4"
+    )
+    params["lora"] = init_lora(jax.random.PRNGKey(42), cfg.llama, r=128, alpha=256)
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, num_frames=10)
+    tx = make_optimizer(learning_rate=2e-5, params_template=params,
+                        freeze_top_keys=("vision", "llama"))
+    state = create_train_state(params, tx)
+    step = make_train_step(cfg, tx)
+    b, t = 1, 413
+    t_spliced = t + cfg.num_visual_tokens - 1
+    batches = [make_batch(cfg, b, t, 10, seed=sd) for sd in range(2)]
+    state, m = step(state, batches[0], jax.random.PRNGKey(0))
+    float(m["loss"])
+    n_steps = 4
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, m = step(state, batches[i % 2], jax.random.PRNGKey(i))
+    loss = float(m["loss"])
+    dt = (time.perf_counter() - t0) / n_steps
+    fl = flops_per_step(cfg, b, t_spliced, 10)
+    print(json.dumps({
+        "metric": f"train_tokens_per_sec_{preset}_qlora_r128",
+        "value": round(fl["tokens"] / dt, 1),
+        "unit": "tokens/s/chip",
+        "step_ms": round(dt * 1e3, 1),
+        "mfu_6pt_pct": round(fl["6pt"] / dt / 1e12 / 197.0 * 100, 1),
+        "loss": round(loss, 3),
+        "platform": jax.devices()[0].platform,
+        "wall_s": round(time.time() - t_start, 1),
+    }))
 
 
 def _run_mode(mode: str, extra_env: dict, timeout_s: int = 3000):
@@ -310,14 +374,17 @@ def main():
     single = os.environ.get("HANDSONVLM_BENCH_SINGLE", "0") == "1"
     if single or preset not in ("7b", "13b"):
         # smoke/graft presets and mode children stay single-process
-        run_single()
+        if os.environ.get("HANDSONVLM_BENCH_TRAIN", "0") == "1":
+            run_train_single()
+        else:
+            run_single()
         return
 
     t0 = time.time()
     modes = [
         m.strip()
         for m in os.environ.get(
-            "HANDSONVLM_BENCH_MODES", "spec,seq,int8,bf16"
+            "HANDSONVLM_BENCH_MODES", "spec,seq,int8,bf16,train"
         ).split(",")
         if m.strip() in MODE_ENV
     ] or ["spec"]
@@ -333,7 +400,8 @@ def main():
     extras = {}
     for mode in modes[1:]:
         r = _run_mode(mode, {"HANDSONVLM_BENCH_NOBASE": "1"})
-        if base_tps and "value" in r:
+        if base_tps and "value" in r and mode != "train":
+            # train measures a different quantity; no decode baseline ratio
             r["vs_baseline"] = round(r["value"] / base_tps, 3)
         extras[mode] = r
     if extras:
