@@ -596,7 +596,8 @@ def _prefill4_tiled_kernel(xr_ref, w_ref, s_ref, o_ref, acc_ref):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     p = w_ref[0, 0].astype(jnp.int32)  # (gk, g/2, BN)
-    sc = s_ref[0, 0].astype(jnp.bfloat16)[:, None, :]  # (gk, 1, BN)
+    sc = s_ref[0, 0].astype(jnp.bfloat16)  # (gk, 1, BN): singleton kept so
+    # the block's constrained last-two dims are (1, BN) — gk can be tiny
     lo = ((p & 0x0F) - 8).astype(jnp.bfloat16) * sc
     hi = (p >> 4).astype(jnp.bfloat16) * sc
     gk, half, bn = lo.shape
@@ -640,7 +641,7 @@ def int4_matmul_prefill_tiled(x, w4t, gst, layer_idx):
                     (1, 1, gk, half, BN), lambda i, j, ki, l: (l[0], j, ki, 0, 0)
                 ),
                 pl.BlockSpec(
-                    (1, 1, gk, BN), lambda i, j, ki, l: (l[0], j, ki, 0)
+                    (1, 1, gk, 1, BN), lambda i, j, ki, l: (l[0], j, ki, 0, 0)
                 ),
             ],
             out_specs=pl.BlockSpec((block_m, BN), lambda i, j, ki, l: (i, j)),
@@ -648,7 +649,8 @@ def int4_matmul_prefill_tiled(x, w4t, gst, layer_idx):
         ),
         out_shape=jax.ShapeDtypeStruct((m_pad, NB * BN), jnp.float32),
         interpret=_interpret(),
-    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), x2, w4t, gst)
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), x2, w4t,
+      gst[:, :, :, None, :])
     return out[:m].reshape(shape[:-1] + (NB * BN,)).astype(x.dtype)
 
 
@@ -694,7 +696,7 @@ def _prefill4t_tiled_kernel(dy_ref, w_ref, s_ref, o_ref, acc_ref):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     p = w_ref[0, 0].astype(jnp.int32)  # (gk, g/2, BN)
-    sc = s_ref[0, 0].astype(jnp.bfloat16)[:, None, :]
+    sc = s_ref[0, 0].astype(jnp.bfloat16)  # (gk, 1, BN) — see prefill kernel
     lo = ((p & 0x0F) - 8).astype(jnp.bfloat16) * sc
     hi = (p >> 4).astype(jnp.bfloat16) * sc
     gk, half, bn = lo.shape
@@ -740,7 +742,7 @@ def _int4_stacked_T_tiled(dy, w4t, gst, layer_idx):
                     (1, 1, gk, half, BN), lambda i, di, ni, l: (l[0], ni, di, 0, 0)
                 ),
                 pl.BlockSpec(
-                    (1, 1, gk, BN), lambda i, di, ni, l: (l[0], ni, di, 0)
+                    (1, 1, gk, 1, BN), lambda i, di, ni, l: (l[0], ni, di, 0, 0)
                 ),
             ],
             out_specs=pl.BlockSpec((block_m, bd), lambda i, di, ni, l: (i, di)),
@@ -748,7 +750,8 @@ def _int4_stacked_T_tiled(dy, w4t, gst, layer_idx):
         ),
         out_shape=jax.ShapeDtypeStruct((m_pad, d), jnp.float32),
         interpret=_interpret(),
-    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), dy2, w4t, gst)
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), dy2, w4t,
+      gst[:, :, :, None, :])
     return out[:m, :d].reshape(shape[:-1] + (d,)).astype(dy.dtype)
 
 

@@ -58,6 +58,7 @@ def main():
     xshape = jax.ShapeDtypeStruct((B, d), jnp.bfloat16)
 
     # stage 1: memory analysis, default vs AUTO
+    preferred = None
     for name, fmts in (
         ("default", None),
         ("auto", (Format(Layout.AUTO), Format(Layout.AUTO))),
