@@ -125,7 +125,8 @@ def main():
                 compiled = None
         if b == 4 and compiled is not None:
             try:
-                analyze_prefill_with(cfg, b, compiled.input_formats[0])
+                # input_formats = ((per-arg formats...), kwargs-formats)
+                analyze_prefill_with(cfg, b, compiled.input_formats[0][0])
             except Exception as e:  # noqa: BLE001
                 print(f"B={b} prefill-pinned: FAIL {str(e).splitlines()[0][:160]}",
                       flush=True)
