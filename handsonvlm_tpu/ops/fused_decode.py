@@ -1,14 +1,22 @@
-"""Fused decode-step kernels: one pallas call per decoder-layer half.
+"""Fused decode-step MLP kernel — EXPERIMENTAL, measured SLOWER than the
+unfused path; NOT wired into production (docs/PERF_NOTES.md "Fused
+MLP-half megakernel").
 
-Why (docs/PERF_NOTES.md "Tiled int4 weight layout"): the 7B int4 decode
-GEMV chain runs at 8.3 ms/step against a 4.5 ms raw-DMA bound, and the
-gap is NOT layout contiguity — it is per-pallas-call overhead + pipeline
-fill (4 projection calls + 1 attention call per layer x 32 layers = 160
-calls/step at ~12 us + a pipeline fill each). These kernels collapse a
-layer's MLP half (rms_norm -> gate/up GEMV -> silu*up -> down GEMV ->
-residual) into ONE pallas call, and the attention half (rms_norm -> qkv
-GEMV -> RoPE -> cached attention -> out GEMV -> residual) into another:
-2 calls/layer instead of 5.
+Hypothesis (round-2 "Tiled int4 weight layout" note): the 7B int4 decode
+GEMV chain sits ~2x above its raw-DMA bound because of per-pallas-call
+overhead + pipeline fill (4 projection calls/layer x 32 layers), so
+collapsing a layer's MLP half (rms_norm -> gate/up GEMV -> silu*up ->
+down GEMV -> residual) into ONE sequential-grid pallas call should
+approach the stream floor.
+
+REFUTED on-chip (tools/perf_fused_mlp.py, 32-layer MLP chain at 7B
+shapes, B=1, interleaved A/B, best-of-4): fused 9.25 ms/step vs unfused
+4.18 ms/step (v1 biased-nibble variant: 5.73 vs 4.25). A single
+sequential grid serializes the three weight streams phase-by-phase and
+stalls the DMA engine at phase boundaries, which costs more than the
+per-call overhead it saves; separate pallas_calls let Mosaic overlap one
+projection's epilogue with the next one's weight prefetch. Kept for the
+record + interpret-mode parity coverage; `fused_mlp_ok` gates it off.
 
 Mechanics: a 1-D sequential grid (TPU pallas grid steps run in order on
 the core) walks weight tiles phase by phase; operands that are inactive
@@ -55,39 +63,20 @@ def _interpret() -> bool:
         return True
 
 
-def _gemv_tile(xlo_ref, xc_ref, sxT_ref, w_ref, s_ref):
-    """Biased-nibble GEMV on one weight tile (see int8_matmul.quantize_int4).
+def _dequant_tile(w_ref, s_ref):
+    """Dequantize one packed int4 tile to bf16 in VMEM (scales folded in).
 
-    xlo/xc (G, R, HALF) bf16, sxT (G, R) f32 scratch refs;
-    w (1,1,G,HALF,BN) packed int8, s (1,1,G,1,BN) f32 operand refs.
-    Returns (R, BN) f32. The -8*sum(xlo) correction folds into the
-    per-group scale-sum as a broadcast add (no separate correction dot)."""
-    byte = w_ref[0, 0].astype(jnp.bfloat16)  # (G, HALF, BN)
-    hi = (w_ref[0, 0].astype(jnp.int32) >> 4).astype(jnp.bfloat16)
-    dn = (((2,), (1,)), ((0,), (0,)))  # batch G, contract HALF
-    a = jax.lax.dot_general(
-        xlo_ref[...], byte, dn, preferred_element_type=jnp.float32)
-    a = a + jax.lax.dot_general(
-        xc_ref[...], hi, dn, preferred_element_type=jnp.float32)
-    s = s_ref[0, 0, :, 0, :]  # (G, BN)
-    return jnp.sum((a + sxT_ref[...][:, :, None]) * s[:, None, :], axis=0)
-
-
-def _store_halves(vec, base, xlo_ref, xc_ref, sxT_ref, b):
-    """Split a (b, W) f32 vector into per-group biased-nibble halves and
-    store at group rows [base, base + W/GROUP). `base` may be traced
-    (dynamic major-dim stores); the 64-lane splits are static slices."""
-    w = vec.shape[-1]
-    for t in range(w // GROUP):
-        lo = vec[:, GROUP * t: GROUP * t + HALF]
-        hic = vec[:, GROUP * t + HALF: GROUP * (t + 1)]
-        idx = base + t
-        pl.store(xlo_ref, (pl.dslice(idx, 1), pl.dslice(0, b), slice(None)),
-                 lo.astype(jnp.bfloat16)[None])
-        pl.store(xc_ref, (pl.dslice(idx, 1), pl.dslice(0, b), slice(None)),
-                 (hic - 16.0 * lo).astype(jnp.bfloat16)[None])
-        pl.store(sxT_ref, (pl.dslice(idx, 1), pl.dslice(0, b)),
-                 (-8.0 * jnp.sum(lo, axis=-1))[None])
+    w (1,1,G,HALF,BN) packed int8, s (1,1,G,1,BN) f32 -> (G*GROUP, BN)
+    bf16, row order matching x (quantize_int4 pairs row r with r+HALF
+    inside each group; concat on the half axis then a major-dim collapse
+    restores contraction order — same body as int8_matmul._prefill4_kernel,
+    which Mosaic compiles at 7B in production)."""
+    pw = w_ref[0, 0].astype(jnp.int32)  # (G, HALF, BN)
+    sc = s_ref[0, 0].astype(jnp.bfloat16)  # (G, 1, BN)
+    lo = ((pw & 0x0F) - 8).astype(jnp.bfloat16) * sc
+    hi = (pw >> 4).astype(jnp.bfloat16) * sc
+    g, half, bn = lo.shape
+    return jnp.concatenate([lo, hi], axis=1).reshape(g * GROUP, bn)
 
 
 # ---------------------------------------------------------------------------
@@ -98,14 +87,14 @@ def _store_halves(vec, base, xlo_ref, xc_ref, sxT_ref, b):
 def _fused_mlp_kernel(
     l_ref,  # scalar prefetch (1,) int32 layer index
     h_ref,  # (B, d) hidden (full block, constant)
-    nrm_ref,  # (1, d) mlp_norm scale for the layer
+    nrm_ref,  # (1, 1, d) mlp_norm scale for the layer
     wg_ref, sg_ref,  # (1,1,Gd,HALF,BNf) int8 / (1,1,Gd,1,BNf) f32
     wu_ref, su_ref,
     wd_ref, sd_ref,  # (1,1,Gf,HALF,BNd) / (1,1,Gf,1,BNd)
     hres_ref,  # (B, BNd) residual block (same hidden array, re-blocked)
     out_ref,  # (ROWS, BNd)
-    xlo1, xc1, sx1,  # (Gd, ROWS, HALF) bf16 x2, (Gd, ROWS) f32
-    xlo2, xc2, sx2,  # (Gf, ROWS, HALF) bf16 x2, (Gf, ROWS) f32
+    xn_s,  # (ROWS, d) bf16 — normed activations
+    act_s,  # (NBf, ROWS, BNf) bf16 — silu(gate)*up blocks
     *,
     nbf: int,
     nbd: int,
@@ -116,33 +105,33 @@ def _fused_mlp_kernel(
 
     @pl.when(p == 0)
     def _norm():
-        xlo1[...] = jnp.zeros_like(xlo1)
-        xc1[...] = jnp.zeros_like(xc1)
-        sx1[...] = jnp.zeros_like(sx1)
-        xlo2[...] = jnp.zeros_like(xlo2)
-        xc2[...] = jnp.zeros_like(xc2)
-        sx2[...] = jnp.zeros_like(sx2)
+        xn_s[...] = jnp.zeros_like(xn_s)
         h = h_ref[...].astype(jnp.float32)
         ms = jnp.mean(h * h, axis=-1, keepdims=True)
-        xn = h * jax.lax.rsqrt(ms + eps) * nrm_ref[...].astype(jnp.float32)
-        for g in range(d // GROUP):  # static unroll: no minor-dim reshapes
-            lo = xn[:, GROUP * g: GROUP * g + HALF]
-            hic = xn[:, GROUP * g + HALF: GROUP * (g + 1)]
-            xlo1[g, :b] = lo.astype(jnp.bfloat16)
-            xc1[g, :b] = (hic - 16.0 * lo).astype(jnp.bfloat16)
-            sx1[g, :b] = -8.0 * jnp.sum(lo, axis=-1)
+        xn = h * jax.lax.rsqrt(ms + eps) * nrm_ref[0].astype(jnp.float32)
+        xn_s[:b] = xn.astype(jnp.bfloat16)
 
     @pl.when(p < nbf)
     def _gate_up():
-        yg = _gemv_tile(xlo1, xc1, sx1, wg_ref, sg_ref)  # (ROWS, BNf)
-        yu = _gemv_tile(xlo1, xc1, sx1, wu_ref, su_ref)
-        act = jax.nn.silu(yg) * yu
-        bnf = act.shape[-1]
-        _store_halves(act[:b], p * (bnf // GROUP), xlo2, xc2, sx2, b)
+        x = xn_s[...]
+        yg = jax.lax.dot_general(
+            x, _dequant_tile(wg_ref, sg_ref), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        yu = jax.lax.dot_general(
+            x, _dequant_tile(wu_ref, su_ref), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        act = jax.nn.silu(yg) * yu  # (ROWS, BNf)
+        act_s[pl.dslice(p, 1)] = act.astype(jnp.bfloat16)[None]
 
     @pl.when(p >= nbf)
     def _down():
-        y = _gemv_tile(xlo2, xc2, sx2, wd_ref, sd_ref)  # (ROWS, BNd)
+        wdq = _dequant_tile(wd_ref, sd_ref)  # (f, BNd)
+        bnd = wdq.shape[-1]
+        wdb = wdq.reshape(nbf, -1, bnd)  # (NBf, BNf, BNd) major-dim split
+        y = jax.lax.dot_general(
+            act_s[...], wdb, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (NBf, ROWS, BNd)
+        y = jnp.sum(y, axis=0)
         out_ref[:b] = (
             y[:b] + hres_ref[...].astype(jnp.float32)
         ).astype(out_ref.dtype)
@@ -174,7 +163,7 @@ def fused_mlp_stacked(
             grid=(nbf + nbd,),
             in_specs=[
                 pl.BlockSpec((b, d), lambda p, l: (0, 0)),
-                pl.BlockSpec((1, d), lambda p, l: (l[0], 0)),
+                pl.BlockSpec((1, 1, d), lambda p, l: (l[0], 0, 0)),
                 pl.BlockSpec((1, 1, gd, half, bnf),
                              lambda p, l: (l[0], jnp.minimum(p, nbf - 1), 0, 0, 0)),
                 pl.BlockSpec((1, 1, gd, 1, bnf),
@@ -193,20 +182,16 @@ def fused_mlp_stacked(
             out_specs=pl.BlockSpec(
                 (ROWS, bnd), lambda p, l: (0, jnp.clip(p - nbf, 0, nbd - 1))),
             scratch_shapes=[
-                pltpu.VMEM((gd, ROWS, HALF), jnp.bfloat16),
-                pltpu.VMEM((gd, ROWS, HALF), jnp.bfloat16),
-                pltpu.VMEM((gd, ROWS), jnp.float32),
-                pltpu.VMEM((gf, ROWS, HALF), jnp.bfloat16),
-                pltpu.VMEM((gf, ROWS, HALF), jnp.bfloat16),
-                pltpu.VMEM((gf, ROWS), jnp.float32),
+                pltpu.VMEM((ROWS, d), jnp.bfloat16),
+                pltpu.VMEM((nbf, ROWS, bnf), jnp.bfloat16),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((ROWS, nbd * bnd), hidden.dtype),
         interpret=_interpret(),
     )(
         jnp.asarray(layer_idx, jnp.int32).reshape(1),
-        hidden, nrm_scales, wg["w4t"], sg, wu["w4t"], su, wd["w4t"], sd,
-        hidden,
+        hidden, nrm_scales[:, None, :], wg["w4t"], sg, wu["w4t"], su,
+        wd["w4t"], sd, hidden,
     )
     return out[:b]
 
@@ -241,8 +226,13 @@ def split_wgu_tiled(wgu: dict, f: int) -> tuple:
 
 def fused_mlp_ok(int4_stacked: dict, d: int, t: int, b: int) -> bool:
     """Trace-time check: the fused MLP kernel serves decode-shaped inputs
-    on trees carrying the separate gate/up tiling."""
-    if t != 1 or b > ROWS or _interpret() and False:
+    on trees carrying the separate gate/up tiling.
+
+    Permanently False unless HANDSONVLM_FUSED_MLP=1: the kernel measured
+    2.2x SLOWER than the unfused path on-chip (see module docstring)."""
+    if _os.environ.get("HANDSONVLM_FUSED_MLP") != "1":
+        return False
+    if t != 1 or b > ROWS:
         return False
     if not {"wg", "wu", "w_down"} <= set(int4_stacked):
         return False
