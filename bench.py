@@ -16,9 +16,12 @@ mid-decode length — exactly the reference's per-token cost — so the ratio
 is the algorithmic speedup at equal hardware and weights.
 
 At real-model presets (7b/13b) the run is a small orchestration: the
-HEADLINE mode (int4 + speculative decode — the production B=1 latency
-mode; distribution-exact vs the sequential sampler) plus secondary modes
-(int4 sequential, int8, bf16) each run in their OWN subprocess. One
+HEADLINE mode (int4 sequential sampling at the EK100 eval protocol
+temperature — the parity workload) plus secondary modes (speculative at
+the protocol temperature, speculative greedy with the template bank —
+the production low-latency serving mode; n-gram acceptance needs real
+weights to show up under sampling, see docs/PERF_NOTES.md — plus int8,
+bf16, and the 7B QLoRA train step) each run in their OWN subprocess. One
 process per mode is load-bearing on this backend: freed device buffers
 never return to the allocator within a process (CLAUDE.md), so coexisting
 bf16+int4 7B trees would OOM; process exit is the only reliable free.
@@ -26,12 +29,15 @@ Secondary modes land in the "modes" field of the single JSON line.
 
 Env:
   HANDSONVLM_BENCH_PRESET = 7b (default) | 13b | 1b | graft
-  HANDSONVLM_BENCH_MODES = spec,seq,int8,bf16 (default; first is headline)
+  HANDSONVLM_BENCH_MODES = seq,spec,spec_greedy,int8,bf16,train
+                           (default; first is headline)
   HANDSONVLM_BENCH_QUANT = int4 (default: the production serving mode)
                            | int8 | "" (bf16)   [single-process modes]
   HANDSONVLM_BENCH_NEW_TOKENS = 64
   HANDSONVLM_BENCH_SPEC = K>0 enables n-gram speculative decoding with the
                           EK template bank (infer/speculative.py)
+  HANDSONVLM_BENCH_TEMP = sampling temperature (default 0.5 = eval
+                          protocol; <=0 greedy, metric suffixed _greedy)
 """
 
 from __future__ import annotations
@@ -91,6 +97,7 @@ def run_single():
     t_start = time.time()
     preset = os.environ.get("HANDSONVLM_BENCH_PRESET", "7b")
     max_new = int(os.environ.get("HANDSONVLM_BENCH_NEW_TOKENS", "64"))
+    temp = float(os.environ.get("HANDSONVLM_BENCH_TEMP", "0.5"))
     skip_baseline = os.environ.get("HANDSONVLM_BENCH_NOBASE", "0") == "1"
 
     import jax
@@ -188,7 +195,7 @@ def run_single():
         def run(seed):
             out, _ = generate_spec(
                 params, cfg, ids_j, images_unique, jax.random.PRNGKey(seed),
-                max_new_tokens=max_new, k=spec_k, temperature=0.5, top_p=0.9,
+                max_new_tokens=max_new, k=spec_k, temperature=temp, top_p=0.9,
                 frame_map=frame_map, bank_ids=bank,
             )
             return out
@@ -196,7 +203,7 @@ def run_single():
         def run(seed):
             return generate_chunked(
                 params, cfg, ids_j, images_unique, jax.random.PRNGKey(seed),
-                max_new_tokens=max_new, temperature=0.5, top_p=0.9, chunk=chunk,
+                max_new_tokens=max_new, temperature=temp, top_p=0.9, chunk=chunk,
                 frame_map=frame_map,
             )
 
@@ -219,7 +226,8 @@ def run_single():
         print(json.dumps({
             "metric": f"decode_tokens_per_sec_{preset}"
             + ("_int8" if use_int8 else "_int4" if use_int4 else "")
-            + (f"_spec{spec_k}" if spec_k > 0 else ""),
+            + (f"_spec{spec_k}" if spec_k > 0 else "")
+            + ("_greedy" if temp <= 0 else ""),
             "value": round(cached_tps, 3),
             "unit": "tokens/s/chip",
             "platform": platform,
@@ -256,7 +264,8 @@ def run_single():
     result = {
         "metric": f"decode_tokens_per_sec_{preset}"
         + ("_int8" if use_int8 else "_int4" if use_int4 else "")
-        + (f"_spec{spec_k}" if spec_k > 0 else ""),
+        + (f"_spec{spec_k}" if spec_k > 0 else "")
+        + ("_greedy" if temp <= 0 else ""),
         "value": round(cached_tps, 3),
         "unit": "tokens/s/chip",
         "vs_baseline": round(cached_tps / baseline_tps, 3),
@@ -273,6 +282,8 @@ def run_single():
 MODE_ENV = {
     # mode name -> env overrides for the child process
     "spec": {"HANDSONVLM_BENCH_QUANT": "int4", "HANDSONVLM_BENCH_SPEC": "4"},
+    "spec_greedy": {"HANDSONVLM_BENCH_QUANT": "int4",
+                    "HANDSONVLM_BENCH_SPEC": "4", "HANDSONVLM_BENCH_TEMP": "0"},
     "seq": {"HANDSONVLM_BENCH_QUANT": "int4", "HANDSONVLM_BENCH_SPEC": "0"},
     "int8": {"HANDSONVLM_BENCH_QUANT": "int8", "HANDSONVLM_BENCH_SPEC": "0"},
     "bf16": {"HANDSONVLM_BENCH_QUANT": "", "HANDSONVLM_BENCH_SPEC": "0"},
@@ -384,7 +395,7 @@ def main():
     modes = [
         m.strip()
         for m in os.environ.get(
-            "HANDSONVLM_BENCH_MODES", "spec,seq,int8,bf16,train"
+            "HANDSONVLM_BENCH_MODES", "seq,spec,spec_greedy,int8,bf16,train"
         ).split(",")
         if m.strip() in MODE_ENV
     ] or ["spec"]

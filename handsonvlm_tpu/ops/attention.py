@@ -88,7 +88,12 @@ def attention(
     `decode_length` (valid cache positions, = q_offset + T) enables the
     Pallas single-query decode kernel for cached T==1 steps."""
     if impl == "auto":
-        impl = _best_impl(q, decode_length)
+        impl = _best_impl(q, decode_length, key_mask=key_mask, causal=causal,
+                          kv_shape=k.shape)
+    if impl == "vit":
+        from handsonvlm_tpu.ops.vit_attention import vit_attention
+
+        return vit_attention(q, k, v)
     if impl == "decode":
         from handsonvlm_tpu.ops.decode_attention import decode_attention
 
@@ -107,13 +112,18 @@ def attention(
     return attention_xla(q, k, v, key_mask=key_mask, causal=causal, q_offset=q_offset)
 
 
-def _best_impl(q: jnp.ndarray, decode_length=None) -> str:
+def _best_impl(q: jnp.ndarray, decode_length=None, *, key_mask=None,
+               causal=True, kv_shape=None) -> str:
     """Measured on v5e (tools/perf_attn_shapes.py, 2026-08-16, after the
     bf16-operand kernel fix — the old kernel ran f32 MXU passes): per-layer
     attention at llama shapes (B=1, H=32, D=128): T=2048 flash(256,512)
     0.35 ms vs XLA 4.13; T=1024 0.20 vs 0.14 (wash); T=512 wash. CLIP
-    shapes (B=100, T=257, D=64, non-causal): XLA 1.8 ms vs flash 7.9 —
-    XLA wins below T~2048 and for the vision tower."""
+    shapes (B=100, T=257, D=64, non-causal): XLA wins below T~2048 at
+    d=128 vs flash, but the VMEM-resident ViT kernel wins at batch
+    (tools/perf_vit_attn.py, 2026-08-17, K=2000 chains): B=100 0.854 vs
+    XLA 2.417 ms/layer, B=40 0.351 vs 0.823; at the B=10 frame-deduped
+    serving batch XLA narrowly wins (0.055 vs 0.089, both negligible) —
+    the vit route is gated at B>=16."""
     try:
         platform = jax.devices()[0].platform
     except Exception:  # pragma: no cover
@@ -123,6 +133,11 @@ def _best_impl(q: jnp.ndarray, decode_length=None) -> str:
         return "xla"
     if t == 1 and decode_length is not None and d % 8 == 0:
         return "decode"
+    if kv_shape is not None and kv_shape == q.shape and q.shape[0] >= 16:
+        from handsonvlm_tpu.ops.vit_attention import vit_attention_ok
+
+        if vit_attention_ok(q, q, q, key_mask, causal):
+            return "vit"
     if t >= 2048 and d in (128, 256):
         return "flash"
     return "xla"
