@@ -393,6 +393,11 @@ def decode_chunk(
         hands = hands.at[:, i].set((ntok == cfg.hand_token_id) & ~fin)
         fin = fin | (ntok == eos_token_id)
         return (cache, ntok, nwp, fin, rng, tokens, wps, hands)
+    # NB: do NOT wrap the body in lax.cond(all-finished, skip, run): a
+    # conditional in the fori carry path breaks XLA's in-place aliasing of
+    # the multi-GB stacked cache (copy-unification per step: measured
+    # 83.7 -> 15.7 tok/s at 7B int4, 2026-08-17). Early exit is the
+    # caller's job (generate_chunked dispatch-ahead).
 
     init = (
         cache, cur_token, cur_waypoint, finished, rng,
@@ -457,21 +462,24 @@ def generate_chunked(
         params, cfg, last_hidden, r0, temperature=temperature, top_p=top_p,
     )
 
-    # device-side accumulation into preallocated buffers: ONE host sync (the
-    # `finished` flag) per chunk and ONE bulk fetch at the end — every extra
-    # transfer costs a full tunnel round trip (~35 ms, perf_e2e_breakdown)
+    # device-side accumulation into preallocated buffers, dispatch-ahead:
+    # each chunk is dispatched async, and the PREVIOUS chunk's `finished`
+    # flag is read only after the next chunk is already in flight — the
+    # blocking read (~35 ms tunnel round trip) overlaps that chunk's
+    # execution instead of sitting on the critical path (the old one-sync-
+    # per-chunk loop cost ~1 ms/token at chunk=32, perf_e2e_breakdown).
+    # Early exit wastes at most ONE speculatively dispatched chunk.
     n_total = 1 + n_chunks * chunk
     acc = (
         jnp.zeros((b, n_total), jnp.int32).at[:, 0].set(token),
         jnp.zeros((b, n_total, 2, 2), jnp.float32).at[:, 0].set(waypoint),
         jnp.zeros((b, n_total), bool).at[:, 0].set(token == cfg.hand_token_id),
     )
-    token_h = np.asarray(token)
-    finished_h = token_h == eos_token_id
-    finished = jnp.asarray(finished_h)
+    finished = token == eos_token_id
 
     produced = 1
-    while produced < max_new_tokens and not finished_h.all():
+    pending = None  # finished flag of the previous (now completed) chunk
+    while produced < max_new_tokens:
         (cache, token, waypoint, finished, rng, *acc) = decode_chunk(
             params, cfg, cache, cache_mask, token, waypoint, finished, rng,
             tuple(acc), produced,
@@ -479,7 +487,12 @@ def generate_chunked(
             eos_token_id=eos_token_id, tp_mesh=tp_mesh,
         )
         produced += chunk
-        finished_h = np.asarray(finished)  # the one sync per chunk
+        # with the next chunk already in flight, this blocking read of the
+        # previous chunk's flag overlaps its execution; if everything had
+        # finished, only the one in-flight chunk is wasted
+        if pending is not None and np.asarray(pending).all():
+            break
+        pending = finished
 
     tokens, wps, hands = jax.device_get(acc)  # single bulk fetch
     tokens = np.array(tokens[:, :max_new_tokens])  # device_get is read-only
