@@ -519,11 +519,14 @@ def generate_chunked(
             pred_hands[i, slot] = wps[i, j]
             num_hands[i] += 1
 
+    # host-built results stay host numpy: consumers all device_get/np.asarray
+    # immediately, and round-tripping them through the device costs a full
+    # tunnel transfer each way (~35 ms per fetch, docs/PERF_NOTES.md)
     return SampleOutput(
-        sequences=jnp.asarray(tokens),
-        num_tokens=jnp.asarray(num_tokens),
-        pred_hands=jnp.asarray(pred_hands.transpose(0, 2, 1, 3)),
-        num_hands=jnp.asarray(num_hands),
+        sequences=np.ascontiguousarray(tokens),
+        num_tokens=np.ascontiguousarray(num_tokens),
+        pred_hands=np.ascontiguousarray(pred_hands.transpose(0, 2, 1, 3)),
+        num_hands=np.ascontiguousarray(num_hands),
     )
 
 
@@ -624,11 +627,14 @@ def generate_host(
         tok_h = record(step, np.asarray(token), np.asarray(waypoint))
         step += 1
 
+    # host-built results stay host numpy: consumers all device_get/np.asarray
+    # immediately, and round-tripping them through the device costs a full
+    # tunnel transfer each way (~35 ms per fetch, docs/PERF_NOTES.md)
     return SampleOutput(
-        sequences=jnp.asarray(tokens),
-        num_tokens=jnp.asarray(num_tokens),
-        pred_hands=jnp.asarray(pred_hands.transpose(0, 2, 1, 3)),
-        num_hands=jnp.asarray(num_hands),
+        sequences=np.ascontiguousarray(tokens),
+        num_tokens=np.ascontiguousarray(num_tokens),
+        pred_hands=np.ascontiguousarray(pred_hands.transpose(0, 2, 1, 3)),
+        num_hands=np.ascontiguousarray(num_hands),
     )
 
 

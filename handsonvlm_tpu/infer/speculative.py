@@ -383,13 +383,15 @@ def generate_spec(
     if eos_pos.size:
         n = min(n, int(eos_pos[0]) + 1)
         seq[0, n:] = PAD_TOKEN_ID
+    # host numpy out: consumers fetch immediately; round-tripping through
+    # the device costs a tunnel transfer each way (see generate_chunked)
     out = SampleOutput(
-        sequences=jnp.asarray(seq),
-        num_tokens=jnp.asarray([n], jnp.int32),
-        pred_hands=jnp.asarray(
+        sequences=np.ascontiguousarray(seq),
+        num_tokens=np.asarray([n], np.int32),
+        pred_hands=np.ascontiguousarray(
             np.asarray(fetched["pred_hands"])[None].transpose(0, 2, 1, 3)
         ),
-        num_hands=jnp.asarray([int(fetched["num_hands"])], jnp.int32),
+        num_hands=np.asarray([int(fetched["num_hands"])], np.int32),
     )
     stats = {
         "iters": int(fetched["iters"]),
