@@ -530,7 +530,11 @@ INT4_T_BN = int(_os.environ.get("HANDSONVLM_INT4_T_BN", "512"))
 
 
 def _prefill4_blocks(m: int, d: int, n: int, group: int):
-    block_m = min(PREFILL4_BLOCK_M, max(m, 8))
+    # balance the m-grid: bm=256 at m=398 pads to 2x256=512 rows (29% wasted
+    # MXU work); instead split m as evenly as the 8-row granularity allows
+    # over the same number of blocks (m=398 -> 2x200 rows, 0.5% pad)
+    nb_m = -(-max(m, 8) // PREFILL4_BLOCK_M)
+    block_m = min(PREFILL4_BLOCK_M, -(-(-(-max(m, 8) // nb_m)) // 8) * 8)
     bn = PREFILL4_BLOCK_N
     block_n = bn if n % bn == 0 else _pick_block_n(n, d // 2)
     block_k = d if d <= 4096 else math.gcd(d, 2048)
