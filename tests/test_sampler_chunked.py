@@ -160,3 +160,51 @@ def test_batched_decode_matches_single():
         np.testing.assert_array_equal(
             np.asarray(both.sequences[i, :n]), np.asarray(solo.sequences[0, :n])
         )
+
+
+def test_dispatch_ahead_early_exit(monkeypatch):
+    """generate_chunked reads each chunk's finished flag only after the next
+    chunk is in flight (dispatch-ahead): on mid-stream EOS it must stop
+    after AT MOST one extra chunk and still produce identical outputs."""
+    import handsonvlm_tpu.infer.sampler as sampler_mod
+
+    params = init_handsonvlm(jax.random.PRNGKey(42), CFG)
+    rng_np = np.random.default_rng(1)
+    ids = rng_np.integers(3, 1000, size=(1, 12))
+    ids[0, 1] = IMAGE_TOKEN_INDEX
+    images = rng_np.normal(
+        size=(1, CFG.num_frames, 3, CFG.vision.image_size, CFG.vision.image_size)
+    ).astype(np.float32)
+
+    kwargs = dict(max_new_tokens=24, temperature=0.0, attn_impl="xla")
+    probe = generate_host(params, CFG, ids, images, jax.random.PRNGKey(7), **kwargs)
+    # force a deterministic mid-stream EOS: declare the token the greedy
+    # rollout actually emits at step 3 to be the EOS id for both loops
+    forced_eos = int(np.asarray(probe.sequences[0, 3]))
+    kwargs["eos_token_id"] = forced_eos
+    ref = generate_host(params, CFG, ids, images, jax.random.PRNGKey(7), **kwargs)
+    n = int(ref.num_tokens[0])
+    assert n <= 8, n  # EOS actually fired early
+
+    calls = {"chunks": 0}
+    real_chunk = sampler_mod.decode_chunk
+
+    def counting_chunk(*a, **k):
+        calls["chunks"] += 1
+        return real_chunk(*a, **k)
+
+    monkeypatch.setattr(sampler_mod, "decode_chunk", counting_chunk)
+
+    out = sampler_mod.generate_chunked(
+        params, CFG, ids, images, jax.random.PRNGKey(7), chunk=2, **kwargs)
+    # with chunk=2 and the reference producing n tokens, the synchronous
+    # loop would dispatch ceil((min(n,24)-1)/2) chunks; dispatch-ahead may
+    # add at most ONE more (and never more than the full count)
+    n_needed = -(-(min(n, 24) - 1) // 2)
+    n_total = -(-(24 - 1) // 2)
+    assert calls["chunks"] <= min(n_needed + 1, n_total), (
+        calls["chunks"], n_needed, n_total)
+    # outputs identical to the host loop regardless of the early exit
+    assert int(out.num_tokens[0]) == n
+    np.testing.assert_array_equal(
+        np.asarray(ref.sequences[0, :n]), np.asarray(out.sequences[0, :n]))
