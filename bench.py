@@ -412,8 +412,10 @@ def main():
     for mode in modes[1:]:
         r = _run_mode(mode, {"HANDSONVLM_BENCH_NOBASE": "1"})
         if base_tps and "value" in r and mode != "train":
-            # train measures a different quantity; no decode baseline ratio
-            r["vs_baseline"] = round(r["value"] / base_tps, 3)
+            # cross-PROCESS ratio: the baseline ran in the headline child,
+            # and tunnel throughput varies 1.5-2x run to run (CLAUDE.md) —
+            # label it approximate rather than publishing it as vs_baseline
+            r["vs_baseline_approx_cross_process"] = round(r["value"] / base_tps, 3)
         extras[mode] = r
     if extras:
         result["modes"] = extras

@@ -119,6 +119,28 @@ def is_trainer_output(ckpt_dir: str) -> bool:
     return latest_step(os.path.join(ckpt_dir, "checkpoints")) is not None
 
 
+def _restore_params_subtree(path: str) -> Any:
+    """Restore ONLY the params subtree of a saved train state: the Adam
+    moments are ~2x the params bytes (tens of GB at 7B), and reading them
+    just to drop them triples restore I/O and host RAM for eval/serve."""
+    import orbax.checkpoint as ocp
+
+    pt = ocp.PyTreeCheckpointer()
+    try:
+        meta = pt.metadata(path)
+        tree = meta.item_metadata.tree if hasattr(meta, "item_metadata") else meta.tree
+        item = jax.tree_util.tree_map(lambda m: ocp.RestoreArgs(), tree["params"])
+        restored = pt.restore(
+            path,
+            args=ocp.args.PyTreeRestore(
+                item={"params": item}, partial_restore=True
+            ),
+        )
+        return restored["params"]
+    except Exception:  # orbax API drift: fall back to the full-state read
+        return ocp.StandardCheckpointer().restore(path)["params"]
+
+
 def restore_params(ckpt_dir: str, cfg=None, dtype=None) -> Any:
     """Params from a save_params export or a trainer output dir (the latest
     train-state checkpoint's params subtree)."""
@@ -133,8 +155,8 @@ def restore_params(ckpt_dir: str, cfg=None, dtype=None) -> Any:
         step = latest_step(cdir)
         if step is None:
             raise ValueError(f"no params export or checkpoints in {ckpt_dir}")
-        state = ckptr.restore(os.path.join(cdir, str(step), "default"))
-        params = state["params"]
+        path = os.path.join(cdir, str(step), "default")
+        params = _restore_params_subtree(path)
     if dtype is not None:
         params = jax.tree_util.tree_map(
             lambda x: x.astype(dtype) if hasattr(x, "astype") and np.issubdtype(x.dtype, np.floating) else x,

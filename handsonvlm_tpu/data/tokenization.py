@@ -257,7 +257,17 @@ class HFTokenizer:
             self.tok = transformers.AutoTokenizer.from_pretrained(
                 path, use_fast=False
             )
-        except Exception:
+        except Exception as e:
+            # scope the fallback to the documented missing-sentencepiece
+            # case; anything else (bad path, corrupt files) should surface
+            if not isinstance(e, (ImportError, ModuleNotFoundError)) and \
+                    "sentencepiece" not in str(e).lower():
+                raise
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "slow tokenizer load failed (%s); falling back to use_fast=True", e
+            )
             self.tok = transformers.AutoTokenizer.from_pretrained(
                 path, use_fast=True
             )

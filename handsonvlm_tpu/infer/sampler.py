@@ -468,7 +468,9 @@ def generate_chunked(
     # blocking read (~35 ms tunnel round trip) overlaps that chunk's
     # execution instead of sitting on the critical path (the old one-sync-
     # per-chunk loop cost ~1 ms/token at chunk=32, perf_e2e_breakdown).
-    # Early exit wastes at most ONE speculatively dispatched chunk.
+    # A mid-stream EOS wastes at most ONE speculatively dispatched chunk;
+    # the rare EOS-as-first-token case wastes two (checking it up front
+    # would put a blocking sync back on every call, a worse trade).
     n_total = 1 + n_chunks * chunk
     acc = (
         jnp.zeros((b, n_total), jnp.int32).at[:, 0].set(token),

@@ -208,7 +208,7 @@ def split_wgu_tiled(wgu: dict, f: int) -> tuple:
 
     Host/convert-time helper — materializes flat transients; do NOT call
     on-device at 7B (freed device memory is lost on this backend; init
-    directly via init_llama_int4(fused_mlp=True) instead)."""
+    directly via split_wgu_tiled applied to the int4 tree (adds wg/wu leaves fused_mlp_ok requires) instead)."""
     from handsonvlm_tpu.ops.int8_matmul import tile_int4_stacked
 
     w4t, gst = wgu["w4t"], wgu["gst"]

@@ -31,6 +31,16 @@ from jax.experimental import pallas as pl
 
 LANE = 64  # head_dim granularity for static lane slicing
 
+# scoped-VMEM budget for one grid cell (the remote compiler rejects ~16 MB
+# working sets with HTTP 500, CLAUDE.md): q/k/v/out blocks double-buffered
+# bf16 + f32 scores/probs. The formula reproduces the measured fb=4 OOM at
+# CLIP shapes (est 18.9 MB vs 19.4 MB reported by the compiler).
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _vmem_est(fb: int, t: int, hd: int) -> int:
+    return 4 * 2 * fb * t * hd * 2 + 2 * fb * t * t * 4
+
 
 def _interpret() -> bool:
     try:
@@ -121,6 +131,10 @@ def vit_attention(
     fb = frames_per_block or (2 if b % 2 == 0 else 1)
     while b % fb:
         fb -= 1
+    while fb > 1 and _vmem_est(fb, t, h * d) > _VMEM_BUDGET:
+        fb -= 1
+        while b % fb:
+            fb -= 1
     return _vit_attention(q, k, v, fb)
 
 
@@ -131,5 +145,7 @@ def vit_attention_ok(q, k, v, key_mask, causal: bool) -> bool:
     if q.shape != k.shape or k.shape != v.shape:
         return False
     b, t, h, d = q.shape
-    # full scores for fb frames must fit VMEM comfortably alongside q/k/v
-    return d == LANE and 2 <= t <= 1024 and h * d % 128 == 0
+    # full scores for (at least) one frame must fit the scoped-VMEM budget
+    # alongside the q/k/v/out blocks, or the remote compile HTTP-500s
+    return (d == LANE and 2 <= t <= 1024 and h * d % 128 == 0
+            and _vmem_est(1, t, h * d) <= _VMEM_BUDGET)

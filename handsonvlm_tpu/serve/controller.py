@@ -71,6 +71,14 @@ class Controller:
             )
         return True
 
+    def remove_worker(self, worker_name: str) -> bool:
+        """Drop a dead worker immediately (the reference controller removes
+        workers on failed status refreshes, llava/serve/controller.py;
+        callers report unreachable addresses here instead of waiting out
+        the 30 s heartbeat expiry)."""
+        with self.lock:
+            return self.worker_info.pop(worker_name, None) is not None
+
     def receive_heart_beat(self, worker_name: str, queue_length: int) -> bool:
         with self.lock:
             info = self.worker_info.get(worker_name)
@@ -162,6 +170,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(200, {"exist": exist})
         elif self.path == "/list_models":
             self._json(200, {"models": c.list_models()})
+        elif self.path == "/remove_worker":
+            self._json(200, {"ok": c.remove_worker(data["worker_name"])})
         elif self.path == "/get_worker_address":
             self._json(200, {"address": c.get_worker_address(data["model"])})
         elif self.path == "/worker_get_status":

@@ -126,7 +126,8 @@ function drawTraj(pred) {
   });
 }
 async function send(promptText){
-  $('out').textContent=''; $('go').disabled=true;
+  $('out').textContent='';
+  for(const id of ['go','regen','clear']){const el=$(id); if(el) el.disabled=true;}
   lastPrompt = promptText;
   let finalText = '';
   try {
@@ -149,7 +150,7 @@ async function send(promptText){
       }
     }
     if (finalText) { history.push([promptText, finalText]); renderChat(); }
-  } finally { $('go').disabled=false; }
+  } finally { for(const id of ['go','regen','clear']){const el=$(id); if(el) el.disabled=false;} }
 }
 $('go').onclick = () => send($('prompt').value);
 </script></body></html>
@@ -260,27 +261,42 @@ def serve_web(controller_addr: str, host: str = "0.0.0.0", port: int = 7860,
             if moderate and violates_moderation(data.get("prompt", "")):
                 self._send(400, json.dumps({"error": MODERATION_MSG}).encode())
                 return
-            try:
-                addr = _post_json(
-                    controller_addr + "/get_worker_address", {"model": data.get("model", "")}
-                )["address"]
-            except OSError as e:
-                self._send(502, json.dumps({"error": f"controller unreachable: {e}"}).encode())
-                return
-            if not addr:
-                self._send(503, json.dumps(
-                    {"error": f"no worker serves model {data.get('model')!r}"}
-                ).encode())
-                return
-            req = urllib.request.Request(
-                addr + "/worker_generate_stream", json.dumps(data).encode(),
-                {"Content-Type": "application/json"},
-            )
-            try:
-                upstream = urllib.request.urlopen(req, timeout=600)
-            except OSError as e:
-                self._send(502, json.dumps({"error": f"worker unreachable: {e}"}).encode())
-                return
+            upstream = None
+            # a stale registry entry (crashed/re-registered worker) shows up
+            # as an unreachable address: report it to the controller
+            # (/remove_worker, mirroring the reference's removal on failed
+            # refresh) and retry with a fresh pick instead of failing the
+            # request on a ghost
+            for attempt in (0, 1):
+                try:
+                    addr = _post_json(
+                        controller_addr + "/get_worker_address", {"model": data.get("model", "")}
+                    )["address"]
+                except OSError as e:
+                    self._send(502, json.dumps({"error": f"controller unreachable: {e}"}).encode())
+                    return
+                if not addr:
+                    self._send(503, json.dumps(
+                        {"error": f"no worker serves model {data.get('model')!r}"}
+                    ).encode())
+                    return
+                req = urllib.request.Request(
+                    addr + "/worker_generate_stream", json.dumps(data).encode(),
+                    {"Content-Type": "application/json"},
+                )
+                try:
+                    upstream = urllib.request.urlopen(req, timeout=600)
+                    break
+                except OSError as e:
+                    try:
+                        _post_json(controller_addr + "/remove_worker",
+                                   {"worker_name": addr})
+                    except OSError:
+                        pass
+                    if attempt == 1:
+                        self._send(502, json.dumps(
+                            {"error": f"worker unreachable: {e}"}).encode())
+                        return
             self.send_response(200)
             self.send_header("Content-Type", "application/octet-stream")
             self.send_header("Transfer-Encoding", "chunked")
@@ -293,7 +309,13 @@ def serve_web(controller_addr: str, host: str = "0.0.0.0", port: int = 7860,
                     chunk = upstream.read1(4096)
                     if not chunk:
                         break
-                    tail = (tail + chunk)[-8192:]
+                    # keep the last TWO \0-delimited parts (never truncate a
+                    # part mid-JSON: a final chunk >8 KB used to get cut and
+                    # log text=None for a successful generation)
+                    tail += chunk
+                    parts = tail.split(b"\0")
+                    if len(parts) > 2:
+                        tail = b"\0".join(parts[-2:])
                     self.wfile.write(f"{len(chunk):x}\r\n".encode() + chunk + b"\r\n")
                     self.wfile.flush()
                 self.wfile.write(b"0\r\n\r\n")

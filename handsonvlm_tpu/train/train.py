@@ -70,7 +70,9 @@ def main():
                    help="root of the LITA/LLaVA task data (defaults to "
                         "$HANDSONVLM_DATA_ROOT)")
     p.add_argument("--task-sample-rates", default=None,
-                   help="comma list matching --tasks order (default uniform)")
+                   help="comma list, one rate per dataset group in --tasks order; "
+                        "epic variants (epic_kitchen/reasoning/vanilla) share "
+                        "ONE group at the first epic position (default uniform)")
     p.add_argument("--synthetic", type=int, default=0,
                    help="train on N synthetic samples (smoke runs without EK data)")
     args = p.parse_args()
@@ -179,10 +181,18 @@ def main():
         data_path = args.data_path or data_root()
         tasks = args.tasks.split("||")
         epic_names = {"epic_kitchen", "reasoning", "vanilla"}
+        # epic variants form ONE task group (reference semantics: DataArguments
+        # treats epic_kitchen as a single task whose datasets mix within the
+        # group), placed at the position of the FIRST epic entry in --tasks so
+        # --task-sample-rates lines up with the group order the user wrote
+        group_names = []  # one entry per dataset group, in --tasks order
         task_datasets = []
-        if any(t in epic_names for t in tasks) or all(
+        want_epic = any(t in epic_names for t in tasks) or all(
             t not in LITA_DATASET_REGISTRY and t != "pretrain" for t in tasks
-        ):
+        )
+        epic_done = False
+
+        def build_epic_group():
             hoi = get_epic_hoi_dataset_by_name(
                 args.ek_version, "train", load_images=True,
                 rephrase_rate=args.rephrase_rate, use_percentage=args.use_percentage,
@@ -194,21 +204,36 @@ def main():
                 group.append(EpicReasoningConversationDataset(tokenizer, hoi))
             if not group:
                 group.append(EpicConversationDataset(tokenizer, hoi))
-            task_datasets.append(group)
+            return group
+
         for t in tasks:
-            if t == "pretrain":
+            if t in epic_names:
+                if want_epic and not epic_done:
+                    task_datasets.append(build_epic_group())
+                    group_names.append("epic")
+                    epic_done = True
+            elif t == "pretrain":
                 # projector-pretraining stage (llava/train/train.py
                 # LazySupervisedDataset + plain template); pair with
                 # --tune-mm-mlp-adapter for the reference recipe
                 task_datasets.append([LlavaPretrainDataset(data_path, tokenizer)])
+                group_names.append(t)
             elif t in LITA_DATASET_REGISTRY:
                 task_datasets.append([
                     cls(data_path, tokenizer)
                     for cls in LITA_DATASET_REGISTRY[t].values()
                 ])
+                group_names.append(t)
+        if want_epic and not epic_done:  # no task recognized: default EK SFT
+            task_datasets.append(build_epic_group())
+            group_names.append("epic")
         if args.task_sample_rates:
             rates = [float(x) for x in args.task_sample_rates.split(",")]
-            assert len(rates) == len(task_datasets), (rates, len(task_datasets))
+            if len(rates) != len(task_datasets):
+                raise SystemExit(
+                    f"--task-sample-rates has {len(rates)} entries but --tasks "
+                    f"resolves to {len(task_datasets)} dataset groups "
+                    f"{group_names} (epic variants share one group)")
         else:
             rates = [1.0] * len(task_datasets)
         hybrid = HybridDataset(

@@ -455,3 +455,23 @@ def test_worker_spec_with_lora(tmp_path):
     finally:
         w_server.shutdown()
         worker.stop()
+
+
+def test_remove_worker_and_proxy_retry():
+    """A stale registry entry (worker re-registered under a new address)
+    must not 502 the web proxy: it reports the ghost via /remove_worker and
+    retries with a fresh pick."""
+    controller, ctrl_server = serve_controller("127.0.0.1", 0)
+    ctrl_port = ctrl_server.server_address[1]
+    threading.Thread(target=ctrl_server.serve_forever, daemon=True).start()
+    ctrl_addr = f"http://127.0.0.1:{ctrl_port}"
+
+    status = {"model_names": ["m"], "speed": 1, "queue_length": 0}
+    assert _post(ctrl_addr + "/register_worker",
+                 {"worker_name": "http://127.0.0.1:1", "worker_status": status})["ok"]
+    assert _post(ctrl_addr + "/remove_worker",
+                 {"worker_name": "http://127.0.0.1:1"})["ok"]
+    assert not _post(ctrl_addr + "/remove_worker",
+                     {"worker_name": "http://127.0.0.1:1"})["ok"]
+    assert _post(ctrl_addr + "/get_worker_address", {"model": "m"})["address"] == ""
+    ctrl_server.shutdown()

@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/handsonvlm_jax")
+if not jax.config.jax_compilation_cache_dir:  # don't clobber a caller's dir
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/handsonvlm_jax")
 
 from handsonvlm_tpu.constants import HAND_TOKEN_ID, IGNORE_INDEX, IMAGE_TOKEN_INDEX
 from handsonvlm_tpu.core.config import get_config
