@@ -520,7 +520,13 @@ def _prefill4_kernel(xr_ref, w_ref, s_ref, o_ref, acc_ref):
         o_ref[:] = acc_ref[:]
 
 
-PREFILL4_BLOCK_M = int(_os.environ.get("HANDSONVLM_INT4_PREFILL_BM", "256"))
+# bm=512: each m-block pays the FULL VPU dequant of every weight tile it
+# touches, so fewer/larger m-blocks win as long as VMEM holds (m=398:
+# 48.1 -> 37.5 ms for the 7B projection chain; m=2048: 206 -> 182;
+# tools/perf_int4_prefill_xla.py sweep 2026-08-17). The balanced split in
+# _prefill4_blocks keeps the actual block near ceil(m/nb) so small m never
+# over-allocates.
+PREFILL4_BLOCK_M = int(_os.environ.get("HANDSONVLM_INT4_PREFILL_BM", "512"))
 PREFILL4_BLOCK_N = int(_os.environ.get("HANDSONVLM_INT4_PREFILL_BN", "512"))
 # tuned on-chip: (256,512) 65 ms vs (512,256) 74, (128,512) 87, (256,256)
 # 107 per T=512 7B prefill (tools/perf_int4_prefill_tune.py); env knobs for
