@@ -295,6 +295,7 @@ def forward(
     rng: Optional[jax.Array] = None,
     attn_impl: str = "auto",
     remat: bool = False,
+    seq_mesh=None,
 ) -> Dict[str, jnp.ndarray]:
     """Training forward: returns loss dict + logits.
 
@@ -328,6 +329,7 @@ def forward(
         params["llama"], cfg.llama,
         inputs_embeds=sp.embeds, attn_mask=sp.attn_mask,
         attn_impl=attn_impl, remat=remat, lora=params.get("lora"),
+        seq_mesh=seq_mesh,
     )
     logits = lm_logits(params["llama"], cfg.llama, hidden)
 

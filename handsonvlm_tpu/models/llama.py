@@ -146,6 +146,7 @@ def _layer(
     layer_idx=None,
     stacked_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     tp_mesh=None,
+    seq_mesh=None,
 ):
     """One decoder block. Returns (hidden, (new_k_slice, new_v_slice)).
 
@@ -261,10 +262,23 @@ def _layer(
         decode_length = None
         if layer_kv is not None and t == 1:
             decode_length = cache_index + t
-        out = attention(
-            q, keys_, vals_, key_mask=key_mask, causal=True, q_offset=q_offset,
-            impl=attn_impl, decode_length=decode_length,
-        )
+        if (seq_mesh is not None and layer_kv is None
+                and t % int(seq_mesh.shape.get("seq", 1)) == 0):
+            # sequence-parallel training/prefill: exact ring attention over
+            # the 'seq' mesh axis (parallel/ring_attention.py); composes
+            # with the 'data' axis when present
+            from handsonvlm_tpu.parallel.ring_attention import ring_attention
+
+            out = ring_attention(
+                q, keys_, vals_, mesh=seq_mesh, causal=True,
+                key_mask=key_mask,
+                batch_axis="data" if "data" in seq_mesh.shape else None,
+            )
+        else:
+            out = attention(
+                q, keys_, vals_, key_mask=key_mask, causal=True, q_offset=q_offset,
+                impl=attn_impl, decode_length=decode_length,
+            )
         out = out.reshape(b, t, h * hd)
     if int4_stacked is not None:
         hidden = hidden + iproj(out, "wo") + lora_delta(lora_layer, "wo", out, lora_scale)
@@ -305,6 +319,7 @@ def apply_llama(
     lora: Optional[dict] = None,
     cache_scan_mode: str = "auto",
     tp_mesh=None,
+    seq_mesh=None,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the decoder stack.
 
@@ -442,7 +457,7 @@ def apply_llama(
         hidden, _ = _layer(
             hidden, lp, cfg, cos, sin, key_mask, q_offset, None,
             cache_index, attn_impl, lora_l, lora_scale,
-            int4_stacked, layer_idx, tp_mesh=tp_mesh,
+            int4_stacked, layer_idx, tp_mesh=tp_mesh, seq_mesh=seq_mesh,
         )
         return hidden, None
 

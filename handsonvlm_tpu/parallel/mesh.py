@@ -30,20 +30,28 @@ def create_mesh(
     data: Optional[int] = None,
     model: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
+    seq: int = 1,
 ) -> Mesh:
-    """Create a ('data', 'model') mesh over the given (or all) devices.
+    """Create a ('data', 'model') mesh — or ('data', 'seq') when ``seq>1``
+    (sequence-parallel ring attention; 'seq' and 'model' axes are mutually
+    exclusive for now) — over the given (or all) devices.
 
-    ``data=None`` uses every remaining device after the model axis.
+    ``data=None`` uses every remaining device after the model/seq axis.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    if seq > 1 and model > 1:
+        raise ValueError("seq and model axes are mutually exclusive")
+    minor = seq if seq > 1 else model
     if data is None:
-        if n % model != 0:
-            raise ValueError(f"{n} devices not divisible by model={model}")
-        data = n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != {n} devices")
-    dev_array = np.asarray(devices).reshape(data, model)
+        if n % minor != 0:
+            raise ValueError(f"{n} devices not divisible by {minor}")
+        data = n // minor
+    if data * minor != n:
+        raise ValueError(f"mesh {data}x{minor} != {n} devices")
+    dev_array = np.asarray(devices).reshape(data, minor)
+    if seq > 1:
+        return Mesh(dev_array, ("data", "seq"))
     return Mesh(dev_array, MESH_AXES)
 
 

@@ -38,16 +38,20 @@ from jax.sharding import Mesh, PartitionSpec as P
 NEG_INF = -1e30  # matches ops/attention mask fill
 
 
-def _block_attn_accum(q, k, v, m, l, acc, q_pos, k_pos, scale, causal):
+def _block_attn_accum(q, k, v, m, l, acc, q_pos, k_pos, scale, causal,
+                      key_mask=None):
     """One online-softmax accumulation step of q against one kv block.
 
     q (B, Tq, H, D); k/v (B, Tk, H, D); m/l (B, H, Tq); acc (B, H, Tq, D)
-    f32. q_pos (Tq,), k_pos (Tk,) global positions for causal masking."""
+    f32. q_pos (Tq,), k_pos (Tk,) global positions for causal masking;
+    key_mask (B, Tk) marks valid (non-pad) keys in this block."""
     qf = q.astype(jnp.float32)
     s = jnp.einsum("bqhd,bkhd->bhqk", qf, k.astype(jnp.float32)) * scale
     if causal:
         mask = q_pos[:, None] >= k_pos[None, :]  # (Tq, Tk)
         s = jnp.where(mask[None, None], s, NEG_INF)
+    if key_mask is not None:
+        s = jnp.where(key_mask[:, None, None, :], s, NEG_INF)
     m_blk = jnp.max(s, axis=-1)  # (B, H, Tq)
     m_new = jnp.maximum(m, m_blk)
     # guard fully-masked rows-so-far: exp(NEG_INF - NEG_INF) must not be 1
@@ -62,8 +66,10 @@ def _block_attn_accum(q, k, v, m, l, acc, q_pos, k_pos, scale, causal):
     return m_new, l_new, acc_new
 
 
-def _ring_shard(q, k, v, *, axis: str, causal: bool, scale: float, p_size: int):
-    """Per-shard body (runs under shard_map): q/k/v (B, Tl, H, D) local."""
+def _ring_shard(q, k, v, key_mask, *, axis: str, causal: bool, scale: float,
+                p_size: int):
+    """Per-shard body (runs under shard_map): q/k/v (B, Tl, H, D) local;
+    key_mask (B, Tl) local or None (it rotates with its kv block)."""
     b, tl, h, d = q.shape
     my = jax.lax.axis_index(axis)
     perm = [(i, (i + 1) % p_size) for i in range(p_size)]
@@ -77,11 +83,14 @@ def _ring_shard(q, k, v, *, axis: str, causal: bool, scale: float, p_size: int):
         src = (my - step) % p_size  # block's home device = global offset
         k_pos = src * tl + jnp.arange(tl)
         m, l, acc = _block_attn_accum(
-            q, k, v, m, l, acc, q_pos, k_pos, scale, causal
+            q, k, v, m, l, acc, q_pos, k_pos, scale, causal,
+            key_mask=key_mask,
         )
         if step != p_size - 1:
             k = jax.lax.ppermute(k, axis, perm)
             v = jax.lax.ppermute(v, axis, perm)
+            if key_mask is not None:
+                key_mask = jax.lax.ppermute(key_mask, axis, perm)
 
     out = acc / jnp.maximum(l, 1e-30)[..., None]  # (B, H, Tl, D)
     return out.transpose(0, 2, 1, 3).astype(q.dtype)  # (B, Tl, H, D)
@@ -95,12 +104,17 @@ def ring_attention(
     mesh: Mesh,
     axis: str = "seq",
     causal: bool = True,
+    key_mask: Optional[jnp.ndarray] = None,  # (B, T) valid-key mask
+    batch_axis: Optional[str] = None,  # e.g. 'data' to compose DP x SP
 ) -> jnp.ndarray:
     """Exact attention over a sequence sharded across `axis`.
 
-    Call under jit with q/k/v sharded P(None, axis, None, None); the
-    shard_map keeps that sharding and rotates KV with nearest-neighbor
-    ppermute. T must divide the axis size. Differentiable."""
+    Call under jit with q/k/v sharded P(batch_axis, axis, None, None); the
+    shard_map keeps that sharding and rotates KV (and key_mask) with
+    nearest-neighbor ppermute. T must divide the axis size. Differentiable.
+    NB: rows whose keys are ALL masked return 0 (attention_xla returns the
+    uniform average there) — such rows are pad positions whose outputs are
+    ignored downstream."""
     b, t, h, d = q.shape
     p_size = int(mesh.shape[axis])
     if t % p_size:
@@ -109,8 +123,15 @@ def ring_attention(
     body = functools.partial(
         _ring_shard, axis=axis, causal=causal, scale=scale, p_size=p_size
     )
-    spec = P(None, axis, None, None)
+    spec = P(batch_axis, axis, None, None)
+    mspec = P(batch_axis, axis)
+    if key_mask is None:
+        fn = jax.shard_map(
+            lambda a, b_, c: body(a, b_, c, None), mesh=mesh,
+            in_specs=(spec, spec, spec), out_specs=spec,
+        )
+        return fn(q, k, v)
     fn = jax.shard_map(
-        body, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec
+        body, mesh=mesh, in_specs=(spec, spec, spec, mspec), out_specs=spec
     )
-    return fn(q, k, v)
+    return fn(q, k, v, key_mask)

@@ -24,7 +24,8 @@ from handsonvlm_tpu.models.handsonvlm import forward
 from handsonvlm_tpu.train.train_state import TrainState
 
 
-def loss_fn(params, cfg: HandsOnVLMConfig, batch: Dict[str, jnp.ndarray], rng, attn_impl: str):
+def loss_fn(params, cfg: HandsOnVLMConfig, batch: Dict[str, jnp.ndarray], rng, attn_impl: str,
+            seq_mesh=None):
     out = forward(
         params,
         cfg,
@@ -37,6 +38,7 @@ def loss_fn(params, cfg: HandsOnVLMConfig, batch: Dict[str, jnp.ndarray], rng, a
         rng=rng,
         attn_impl=attn_impl,
         remat=True,
+        seq_mesh=seq_mesh,
     )
     metrics = {
         "loss": out["loss"],
@@ -67,8 +69,14 @@ def _grad_norm(grads):
     return optax.global_norm(leaves)
 
 
-def make_train_step(cfg: HandsOnVLMConfig, tx: optax.GradientTransformation, attn_impl: str = "auto"):
-    """Returns jitted (state, batch, rng) -> (state, metrics)."""
+def make_train_step(cfg: HandsOnVLMConfig, tx: optax.GradientTransformation, attn_impl: str = "auto",
+                    seq_mesh=None):
+    """Returns jitted (state, batch, rng) -> (state, metrics).
+
+    With ``seq_mesh`` (a mesh containing a 'seq' axis) the decoder
+    attention runs sequence-parallel ring attention — activations shard on
+    T across 'seq' and context length stops being bounded by one device
+    (parallel/ring_attention.py; the reference caps context at 2048)."""
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
@@ -78,7 +86,7 @@ def make_train_step(cfg: HandsOnVLMConfig, tx: optax.GradientTransformation, att
         # optax.set_to_zero + apply_updates pass them through untouched
         (loss, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True, allow_int=True
-        )(state.params, cfg, batch, step_rng, attn_impl)
+        )(state.params, cfg, batch, step_rng, attn_impl, seq_mesh)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = _apply_updates(state.params, updates)
         metrics["grad_norm"] = _grad_norm(grads)

@@ -36,6 +36,10 @@ def main():
     p.add_argument("--warmup-ratio", type=float, default=0.03)
     p.add_argument("--weight-decay", type=float, default=0.0)
     p.add_argument("--model-axis", type=int, default=1, help="TP axis size")
+    p.add_argument("--seq-parallel", type=int, default=1,
+                   help="sequence-parallel axis size (ring attention over a "
+                        "('data','seq') mesh; pad/bucket lengths to a "
+                        "multiple or attention falls back to unsharded)")
     p.add_argument("--lora-r", type=int, default=0,
                    help="enable LoRA with this rank (reference: 128)")
     p.add_argument("--lora-alpha", type=float, default=256.0)
@@ -106,7 +110,8 @@ def main():
     )
 
     os.makedirs(args.output_dir, exist_ok=True)
-    mesh = create_mesh(model=args.model_axis)
+    mesh = create_mesh(model=args.model_axis, seq=args.seq_parallel)
+    seq_mesh = mesh if args.seq_parallel > 1 else None
     print(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} devices")
 
     if args.qlora and not args.lora_r:
@@ -273,7 +278,7 @@ def main():
         )
         return {f"eval/{k}": res[k] for k in ("ade", "fde", "wde", "n")}
 
-    step_fn = make_train_step(cfg, tx)
+    step_fn = make_train_step(cfg, tx, seq_mesh=seq_mesh)
     rng = jax.random.PRNGKey(0)
     save_every = args.save_every or steps_per_epoch
     from handsonvlm_tpu.utils.metrics_writer import MetricsWriter

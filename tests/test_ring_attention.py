@@ -67,3 +67,62 @@ def test_ring_rejects_indivisible():
     x = jnp.zeros((1, 10, 2, 8))
     with pytest.raises(ValueError):
         ring_attention(x, x, x, mesh=mesh)
+
+
+def test_seq_parallel_train_step_matches():
+    """make_train_step(seq_mesh=...) — the full SFT step with ring attention
+    over a ('data','seq') mesh matches the unsharded step's loss/grad-norm.
+    Sequence length is padded to a multiple of the seq axis by the caller;
+    non-divisible T falls back to regular attention (guard in _layer)."""
+    import optax
+
+    from handsonvlm_tpu.constants import IMAGE_TOKEN_INDEX
+    from handsonvlm_tpu.core.config import tiny_config
+    from handsonvlm_tpu.models.handsonvlm import init_handsonvlm
+    from handsonvlm_tpu.train.step import make_train_step
+    from handsonvlm_tpu.train.train_state import TrainState
+
+    cfg = tiny_config()
+    params = init_handsonvlm(jax.random.PRNGKey(0), cfg)
+    rng_np = np.random.default_rng(0)
+    b = 2
+    # splice output length = T_text + num_visual_tokens - 1; pick T_text so
+    # the spliced length divides the 4-wide seq axis
+    t_text = 13
+    t_spliced = t_text + cfg.num_visual_tokens - 1
+    pad = (-t_spliced) % 4
+    t_text += pad
+    ids = rng_np.integers(3, 1000, size=(b, t_text))
+    ids[:, 1] = IMAGE_TOKEN_INDEX
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "attn_mask": jnp.ones((b, t_text), bool),
+        "image": jnp.asarray(rng_np.normal(size=(
+            b, cfg.num_frames, 3, cfg.vision.image_size, cfg.vision.image_size
+        )).astype(np.float32)),
+        "labels": jnp.asarray(ids),
+        "future_hands": jnp.asarray(
+            rng_np.uniform(size=(b, 2, 5, 2)).astype(np.float32)),
+        "future_valid": jnp.ones((b, 2), jnp.int32),
+    }
+    tx = optax.sgd(1e-3)
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "seq"))
+
+    # the jitted step donates the state: give each run its own buffers
+    def fresh_state():
+        p = init_handsonvlm(jax.random.PRNGKey(0), cfg)
+        return TrainState(step=jnp.asarray(0), params=p, opt_state=tx.init(p))
+
+    _, m_ref = make_train_step(cfg, tx, attn_impl="xla")(
+        fresh_state(), batch, jax.random.PRNGKey(3))
+
+    state1 = fresh_state()
+    _, m_sp = make_train_step(cfg, tx, attn_impl="xla", seq_mesh=mesh)(
+        state1, batch, jax.random.PRNGKey(3))
+
+    np.testing.assert_allclose(float(m_sp["loss"]), float(m_ref["loss"]),
+                               rtol=2e-4)
+    np.testing.assert_allclose(float(m_sp["grad_norm"]),
+                               float(m_ref["grad_norm"]), rtol=2e-3)
