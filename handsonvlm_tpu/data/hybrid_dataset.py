@@ -68,6 +68,11 @@ class Collator:
     model_max_length: int = 2048
     pad_multiple: int = 64
     num_frames: int = 100
+    # sequence-parallel support: pad so the SPLICED length (text +
+    # splice_extra visual tokens) divides seq_multiple — ring attention
+    # (train --seq-parallel) falls back to unsharded attention otherwise
+    seq_multiple: int = 1
+    splice_extra: int = 0
 
     def __call__(self, instances: Sequence[Dict]) -> Dict[str, np.ndarray]:
         b = len(instances)
@@ -88,6 +93,12 @@ class Collator:
 
         max_len = max(len(i["input_ids"]) for i in instances)
         max_len = min(_round_up(max_len, self.pad_multiple), self.model_max_length)
+        if self.seq_multiple > 1:
+            pad = (-(max_len + self.splice_extra)) % self.seq_multiple
+            if max_len + pad + self.splice_extra <=                     self.model_max_length + self.splice_extra:
+                max_len += pad
+            else:  # round down instead of exceeding the length budget
+                max_len -= self.seq_multiple - pad
 
         input_ids = np.full((b, max_len), self.pad_token_id, np.int64)
         labels = np.full((b, max_len), IGNORE_INDEX, np.int64)

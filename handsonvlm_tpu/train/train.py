@@ -249,6 +249,8 @@ def main():
         pad_token_id=tokenizer.pad_token_id,
         model_max_length=cfg.max_length,
         num_frames=cfg.num_frames,
+        seq_multiple=args.seq_parallel,
+        splice_extra=cfg.num_visual_tokens - 1,
     )
     batch_sharding = NamedSharding(mesh, P("data"))
     loader = PrefetchLoader(

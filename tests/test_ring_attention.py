@@ -126,3 +126,20 @@ def test_seq_parallel_train_step_matches():
                                rtol=2e-4)
     np.testing.assert_allclose(float(m_sp["grad_norm"]),
                                float(m_ref["grad_norm"]), rtol=2e-3)
+
+
+def test_collator_seq_multiple_padding():
+    """Collator pads text length so text + splice_extra divides seq_multiple
+    (the condition for ring attention to engage in --seq-parallel runs)."""
+    from handsonvlm_tpu.data.hybrid_dataset import Collator
+
+    coll = Collator(pad_token_id=0, model_max_length=2048, num_frames=4,
+                    seq_multiple=4, splice_extra=355)
+    inst = {
+        "input_ids": np.arange(3, 50, dtype=np.int64),
+        "labels": np.arange(3, 50, dtype=np.int64),
+        "image": np.zeros((4, 3, 8, 8), np.float32),
+    }
+    batch = coll([dict(inst)])
+    t_text = batch["input_ids"].shape[1]
+    assert (t_text + 355) % 4 == 0, t_text
