@@ -22,7 +22,13 @@ def initialize(
     """Single-controller multi-host init. No-ops when single-process (the
     common dev path) or when already initialized; on TPU pods the arguments
     come from the environment automatically."""
-    if jax.process_count() > 1:
+    # NB: do NOT probe jax.process_count() here — it initializes the XLA
+    # backend, after which jax.distributed.initialize() refuses to run
+    # (caught by tests/test_multihost_procs.py). Check the distributed
+    # client state directly instead.
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized
     env_says_multihost = any(
         k in os.environ for k in ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS")
