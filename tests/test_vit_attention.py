@@ -73,3 +73,25 @@ def test_vit_dispatch_predicate():
     # CPU always routes to xla regardless of the predicate
     assert _best_impl(q, None, key_mask=None, causal=False,
                       kv_shape=q.shape) == "xla"
+
+
+def test_vmem_gate():
+    """Shapes whose 1-frame working set exceeds the scoped-VMEM budget must
+    not route to the kernel (remote compile would HTTP-500), and the fb
+    picker must shrink blocks under the budget."""
+    from handsonvlm_tpu.ops.vit_attention import (
+        _VMEM_BUDGET, _vmem_est, vit_attention_ok)
+
+    # t=1024 x 16 heads: 25 MB working set even at fb=1 — must reject
+    big = jnp.zeros((16, 1024, 16, 64), jnp.bfloat16)
+    assert _vmem_est(1, 1024, 1024) > _VMEM_BUDGET
+    assert not vit_attention_ok(big, big, big, None, False)
+    # CLIP-L 336px (t=577) squeaks in at fb=1 (12.1M <= 12M budget)
+    b336 = jnp.zeros((16, 577, 16, 64), jnp.bfloat16)
+    assert vit_attention_ok(b336, b336, b336, None, False)
+    # CLIP-L 224px stays in: fb=2 under budget (the measured config)
+    ok = jnp.zeros((16, 257, 16, 64), jnp.bfloat16)
+    assert _vmem_est(2, 257, 1024) <= _VMEM_BUDGET
+    assert vit_attention_ok(ok, ok, ok, None, False)
+    # fb=4 at CLIP shapes reproduces the measured 19.4M OOM
+    assert _vmem_est(4, 257, 1024) > 16 * 1024 * 1024
