@@ -22,6 +22,8 @@ def main():
     p.add_argument("--top-p", type=float, default=0.9)
     p.add_argument("--max-new-tokens", type=int, default=100)
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--kv-int8", action="store_true",
+                   help="int8-quantized decode cache")
     p.add_argument("--num-samples", type=int, default=1,
                    help="stochastic decodes per clip (min/mean-over-samples)")
     p.add_argument("--seed", type=int, default=0)
@@ -59,6 +61,7 @@ def main():
         params=params, cfg=cfg, tokenizer=tokenizer,
         temperature=args.temperature, top_p=args.top_p,
         max_new_tokens=args.max_new_tokens, spec_k=args.spec,
+        kv_quant="int8" if args.kv_int8 else None,
     )
     result = evaluate_epic_kitchen_traj(
         engine, dataset, seed=args.seed, limit=args.limit,

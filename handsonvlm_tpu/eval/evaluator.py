@@ -38,6 +38,7 @@ class InferenceEngine:
     max_new_tokens: int = 100
     pad_prompt_multiple: int = 32  # bucket prompt length to bound recompiles
     spec_k: int = 0  # >0: B=1 requests use speculative decode with K drafts
+    kv_quant: object = None  # "int8": quantized decode cache (QuantKVCache)
 
     def build_prompt_ids(self, question: str, history=()) -> np.ndarray:
         """`history` is past turns [(user, assistant), ...] for multi-turn
@@ -138,6 +139,7 @@ class InferenceEngine:
             top_p=self.top_p,
             attn_mask=attn,
             frame_map=frame_map,
+            kv_quant=self.kv_quant,
         )
         pred, valid = clip_pred_hands(
             jax.device_get(out.pred_hands), jax.device_get(out.num_hands)

@@ -276,12 +276,21 @@ def generate(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "max_len", "attn_impl", "tp_mesh")
+    jax.jit, static_argnames=("cfg", "max_len", "attn_impl", "tp_mesh", "kv_quant")
 )
 def _prefill_jit(params, cfg, input_ids, images, max_len, attn_impl, attn_mask=None,
-                 frame_map=None, tp_mesh=None):
-    return prefill(params, cfg, input_ids, images, max_len, attn_impl=attn_impl,
-                   attn_mask=attn_mask, frame_map=frame_map, tp_mesh=tp_mesh)
+                 frame_map=None, tp_mesh=None, kv_quant=None):
+    out = prefill(params, cfg, input_ids, images, max_len, attn_impl=attn_impl,
+                  attn_mask=attn_mask, frame_map=frame_map, tp_mesh=tp_mesh)
+    if kv_quant == "int8":
+        # quantize INSIDE the prefill program: the bf16 cache stays a
+        # program-internal transient (freed device buffers never return to
+        # the allocator on this backend, CLAUDE.md)
+        from handsonvlm_tpu.models.llama import quantize_kv_cache
+
+        last_hidden, cache, cache_mask = out
+        return last_hidden, quantize_kv_cache(cache), cache_mask
+    return out
 
 
 @functools.partial(
@@ -434,6 +443,7 @@ def generate_chunked(
     attn_mask=None,
     frame_map=None,
     tp_mesh=None,
+    kv_quant=None,  # "int8": quantized decode cache (halves cache DMA/HBM)
 ) -> SampleOutput:
     """Prefill + chunked decode. Same outputs as generate/generate_host.
 
@@ -455,7 +465,7 @@ def generate_chunked(
         params, cfg, input_ids, jnp.asarray(images), max_len, attn_impl,
         None if attn_mask is None else jnp.asarray(attn_mask),
         None if frame_map is None else jnp.asarray(frame_map),
-        tp_mesh=tp_mesh,
+        tp_mesh=tp_mesh, kv_quant=kv_quant,
     )
     rng, r0 = jax.random.split(rng)
     token, waypoint = _first_token(

@@ -58,6 +58,54 @@ class KVCache:
         return self.k.shape[2]
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QuantKVCache:
+    """int8 decode cache: k,v (L,B,S,K,D) int8 + per-(token, kv-head)
+    scales ks,vs (L,B,K,S) f32 (scales laid out head-major so the decode
+    kernel's (K, block_k) scale blocks are contiguous in S). Halves the
+    dominant decode-attention DMA and the cache footprint; dequantization
+    is exact per token (ops/decode_attention.decode_attention_stacked_q).
+    Built from a bf16 cache INSIDE the prefill jit (quantize_kv_cache) —
+    program-internal transients avoid this backend's freed-memory leak."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    ks: jnp.ndarray
+    vs: jnp.ndarray
+    index: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.k, self.v, self.ks, self.vs, self.index), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+
+def _quantize_kv_rows(x: jnp.ndarray):
+    """(..., K, D) -> int8 values + f32 scales (..., K), exact per row."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    sc = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q8 = jnp.round(x.astype(jnp.float32) / sc[..., None])
+    return jnp.clip(q8, -127, 127).astype(jnp.int8), sc
+
+
+def quantize_kv_cache(cache: KVCache) -> QuantKVCache:
+    k8, ks = _quantize_kv_rows(cache.k)  # scales (L,B,S,K)
+    v8, vs = _quantize_kv_rows(cache.v)
+    return QuantKVCache(
+        k=k8, v=v8,
+        ks=jnp.transpose(ks, (0, 1, 3, 2)),  # (L,B,K,S)
+        vs=jnp.transpose(vs, (0, 1, 3, 2)),
+        index=cache.index,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Init
 # ---------------------------------------------------------------------------
@@ -205,14 +253,31 @@ def _layer(
     kx = apply_rope(kx, cos, sin)
 
     if stacked_kv is not None:
-        ck, cv = stacked_kv  # (L, B, S_max, K, D)
-        ck = jax.lax.dynamic_update_slice(
-            ck, kx[None].astype(ck.dtype), (layer_idx, 0, cache_index, 0, 0)
-        )
-        cv = jax.lax.dynamic_update_slice(
-            cv, vx[None].astype(cv.dtype), (layer_idx, 0, cache_index, 0, 0)
-        )
-        new_kv = (ck, cv)
+        quant = len(stacked_kv) == 4  # int8 cache (QuantKVCache)
+        if quant:
+            ck, cv, cks, cvs = stacked_kv  # int8 (L,B,S,K,D) + f32 (L,B,K,S)
+            k8, ksc = _quantize_kv_rows(kx)  # scales (B, t, K)
+            v8, vsc = _quantize_kv_rows(vx)
+            ck = jax.lax.dynamic_update_slice(
+                ck, k8[None], (layer_idx, 0, cache_index, 0, 0))
+            cv = jax.lax.dynamic_update_slice(
+                cv, v8[None], (layer_idx, 0, cache_index, 0, 0))
+            cks = jax.lax.dynamic_update_slice(
+                cks, jnp.transpose(ksc, (0, 2, 1))[None],
+                (layer_idx, 0, 0, cache_index))
+            cvs = jax.lax.dynamic_update_slice(
+                cvs, jnp.transpose(vsc, (0, 2, 1))[None],
+                (layer_idx, 0, 0, cache_index))
+            new_kv = (ck, cv, cks, cvs)
+        else:
+            ck, cv = stacked_kv  # (L, B, S_max, K, D)
+            ck = jax.lax.dynamic_update_slice(
+                ck, kx[None].astype(ck.dtype), (layer_idx, 0, cache_index, 0, 0)
+            )
+            cv = jax.lax.dynamic_update_slice(
+                cv, vx[None].astype(cv.dtype), (layer_idx, 0, cache_index, 0, 0)
+            )
+            new_kv = (ck, cv)
         from handsonvlm_tpu.ops.decode_attention import stacked_kernel_ok
 
         use_kernel = (
@@ -220,9 +285,21 @@ def _layer(
             and attn_impl in ("auto", "decode")
             and hd % 8 == 0
             and stacked_kernel_ok(ck.shape[2])
+            # no TP variant of the int8-cache kernel yet: quant+TP falls
+            # back to the XLA dequant path below
+            and not (quant and tp_mesh is not None)
         )
         if use_kernel:
-            if tp_mesh is not None:
+            if quant:
+                from handsonvlm_tpu.ops.decode_attention import (
+                    decode_attention_stacked_q,
+                )
+
+                out = decode_attention_stacked_q(
+                    q, ck, cv, cks, cvs, layer_idx, cache_index + 1,
+                    key_mask=key_mask,
+                )
+            elif tp_mesh is not None:
                 from handsonvlm_tpu.parallel.tp import decode_attention_stacked_tp
 
                 out = decode_attention_stacked_tp(
@@ -240,10 +317,19 @@ def _layer(
         else:
             # XLA dots fuse the layer slice (no copy), unlike pallas operands.
             # Also serves small t>1 windows (speculative decode verify).
+            k_l = jax.lax.dynamic_index_in_dim(ck, layer_idx, 0, keepdims=False)
+            v_l = jax.lax.dynamic_index_in_dim(cv, layer_idx, 0, keepdims=False)
+            if quant:
+                # dequantize the layer slice (materialized bf16 copy — only
+                # spec verify windows and odd cache sizes take this path)
+                ks_l = jax.lax.dynamic_index_in_dim(cks, layer_idx, 0, keepdims=False)
+                vs_l = jax.lax.dynamic_index_in_dim(cvs, layer_idx, 0, keepdims=False)
+                k_l = (k_l.astype(jnp.float32)
+                       * jnp.transpose(ks_l, (0, 2, 1))[..., None]).astype(q.dtype)
+                v_l = (v_l.astype(jnp.float32)
+                       * jnp.transpose(vs_l, (0, 2, 1))[..., None]).astype(q.dtype)
             out = attention(
-                q,
-                jax.lax.dynamic_index_in_dim(ck, layer_idx, 0, keepdims=False),
-                jax.lax.dynamic_index_in_dim(cv, layer_idx, 0, keepdims=False),
+                q, k_l, v_l,
                 key_mask=key_mask, causal=True, q_offset=q_offset,
                 impl="xla", decode_length=cache_index + t,
             )
@@ -366,6 +452,36 @@ def apply_llama(
     lora_adapters = lora["adapters"] if lora is not None else None
     lora_scale = lora["scale"] if lora is not None else 0.0
     layer_ids = jnp.arange(cfg.num_layers)
+
+    if isinstance(kv_cache, QuantKVCache):
+        # int8 cache: decode/verify only (prefill quantizes a bf16 cache via
+        # quantize_kv_cache inside the prefill program)
+        if t > 8:
+            raise ValueError("QuantKVCache serves decode windows (t<=8); "
+                             "prefill on bf16 then quantize_kv_cache")
+
+        def scan_body(carry, layer_in):
+            hidden, ck, cv, cks, cvs = carry
+            lp, lora_l, layer_idx = layer_in
+            hidden, (ck, cv, cks, cvs) = _layer(
+                hidden, lp, cfg, cos, sin, key_mask, q_offset, None,
+                cache_index, attn_impl, lora_l, lora_scale,
+                int4_stacked, layer_idx,
+                stacked_kv=(ck, cv, cks, cvs), tp_mesh=tp_mesh,
+            )
+            return (hidden, ck, cv, cks, cvs), None
+
+        if remat:
+            scan_body = jax.checkpoint(scan_body)
+        (hidden, ck, cv, cks, cvs), _ = jax.lax.scan(
+            scan_body,
+            (inputs_embeds, kv_cache.k, kv_cache.v, kv_cache.ks, kv_cache.vs),
+            (layer_params, lora_adapters, layer_ids),
+        )
+        hidden = rms_norm(hidden, params["final_norm"]["scale"], cfg.rms_norm_eps)
+        return hidden, QuantKVCache(
+            k=ck, v=cv, ks=cks, vs=cvs, index=kv_cache.index + t
+        )
 
     if kv_cache is not None:
         if cache_scan_mode == "auto":

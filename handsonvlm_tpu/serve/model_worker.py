@@ -51,6 +51,7 @@ class ModelWorker:
         lora_dir: Optional[str] = None,
         lora_resident: int = 4,
         spec_k: int = 0,
+        kv_quant=None,
     ):
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
@@ -63,7 +64,7 @@ class ModelWorker:
         self.ready = False
         self._load_args = (
             model_path, preset, quantize, max_batch, batch_wait_ms,
-            lora_dir, lora_resident, spec_k,
+            lora_dir, lora_resident, spec_k, kv_quant,
         )
         if not defer_load:
             self.load()
@@ -74,14 +75,15 @@ class ModelWorker:
         distinguish "loading" from "dead" during the minutes-long model load
         (ROADMAP round-1 item; the reference worker binds only after load)."""
         (model_path, preset, quantize, max_batch, batch_wait_ms,
-         lora_dir, lora_resident, spec_k) = self._load_args
+         lora_dir, lora_resident, spec_k, kv_quant) = self._load_args
 
         from handsonvlm_tpu.eval.evaluator import InferenceEngine
         from handsonvlm_tpu.infer.builder import load_pretrained_model
 
         params, cfg, tokenizer = load_pretrained_model(model_path, preset, quantize=quantize)
         self.engine = InferenceEngine(
-            params=params, cfg=cfg, tokenizer=tokenizer, spec_k=spec_k
+            params=params, cfg=cfg, tokenizer=tokenizer, spec_k=spec_k,
+            kv_quant=kv_quant,
         )
         self.cfg = cfg
         self._seed = 0
@@ -428,6 +430,9 @@ def main():
                         "request (serve/lora_registry.py)")
     p.add_argument("--lora-resident", type=int, default=4,
                    help="max adapters resident in HBM at once (LRU)")
+    p.add_argument("--kv-int8", action="store_true",
+                   help="int8-quantized KV cache (halves decode-attention "
+                        "DMA and cache HBM; exact per-token dequant)")
     p.add_argument("--spec", type=int, default=0, metavar="K",
                    help="speculative decode for unbatched requests "
                         "(K-token drafts; infer/speculative.py)")
@@ -441,6 +446,7 @@ def main():
         defer_load=True,
         lora_dir=args.lora_dir, lora_resident=args.lora_resident,
         spec_k=args.spec,
+        kv_quant="int8" if args.kv_int8 else None,
     )
     # bind + serve /healthz immediately; generate endpoints 503 until loaded
     server = serve_worker(worker, args.host, args.port)

@@ -70,11 +70,13 @@ def main():
         images = jnp.asarray(uframes, cfg.cdtype)
         fmap = jnp.asarray(np.tile(frame_map[None], (b, 1)))  # per-row maps
 
+        kv_quant = os.environ.get("HANDSONVLM_KV") or None
+
         def run(seed):
             return generate_chunked(
                 params, cfg, ids, images, jax.random.PRNGKey(seed),
                 max_new_tokens=max_new, temperature=0.5, top_p=0.9,
-                chunk=32, frame_map=fmap,
+                chunk=32, frame_map=fmap, kv_quant=kv_quant,
             )
 
         try:
