@@ -285,12 +285,18 @@ def _layer(
             and attn_impl in ("auto", "decode")
             and hd % 8 == 0
             and stacked_kernel_ok(ck.shape[2])
-            # no TP variant of the int8-cache kernel yet: quant+TP falls
-            # back to the XLA dequant path below
-            and not (quant and tp_mesh is not None)
         )
         if use_kernel:
-            if quant:
+            if quant and tp_mesh is not None:
+                from handsonvlm_tpu.parallel.tp import (
+                    decode_attention_stacked_q_tp,
+                )
+
+                out = decode_attention_stacked_q_tp(
+                    q, ck, cv, cks, cvs, layer_idx, cache_index + 1,
+                    key_mask=key_mask, mesh=tp_mesh,
+                )
+            elif quant:
                 from handsonvlm_tpu.ops.decode_attention import (
                     decode_attention_stacked_q,
                 )

@@ -105,6 +105,67 @@ def decode_attention_stacked_tp(
     return out[:, None] if squeeze else out
 
 
+def decode_attention_stacked_q_tp(
+    q: jnp.ndarray,  # (B, 1, H, D) or (B, H, D)
+    ck: jnp.ndarray,  # (L, B, S, K, D) int8 stacked cache
+    cv: jnp.ndarray,
+    ks: jnp.ndarray,  # (L, B, K, S) f32 scales
+    vs: jnp.ndarray,
+    layer_idx,
+    length,
+    *,
+    key_mask: Optional[jnp.ndarray] = None,
+    mesh: Optional[Mesh] = None,
+    axis: str = "model",
+) -> jnp.ndarray:
+    """Head-sharded decode_attention_stacked_q (int8 cache): query heads,
+    kv heads AND the per-head scale arrays all split over `axis` — the
+    per-shard kernel math is unchanged (scales are per kv-head)."""
+    from handsonvlm_tpu.ops.decode_attention import decode_attention_stacked_q
+
+    tp = tp_size(mesh, axis)
+    h = q.shape[-2]
+    kh = ck.shape[3]
+    if tp == 1 or h % tp or kh % tp:
+        return decode_attention_stacked_q(
+            q, ck, cv, ks, vs, layer_idx, length, key_mask=key_mask
+        )
+
+    squeeze = q.ndim == 4
+    if squeeze:
+        q = q[:, 0]
+    b, s = ck.shape[1], ck.shape[2]
+    if key_mask is None:
+        key_mask = jnp.ones((b, s), bool)
+
+    def local(q_, ck_, cv_, ks_, vs_, li_, ln_, mask_):
+        return decode_attention_stacked_q(
+            q_, ck_, cv_, ks_, vs_, li_, ln_, key_mask=mask_)
+
+    out = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, axis, None),  # q (B, H, D): heads
+            P(None, None, None, axis, None),  # cache: kv heads
+            P(None, None, None, axis, None),
+            P(None, None, axis, None),  # scales (L, B, K, S): kv heads
+            P(None, None, axis, None),
+            P(),
+            P(),
+            P(None, None),
+        ),
+        out_specs=P(None, axis, None),
+        check_vma=False,
+    )(
+        q, ck, cv, ks, vs,
+        jnp.asarray(layer_idx, jnp.int32),
+        jnp.asarray(length, jnp.int32),
+        key_mask,
+    )
+    return out[:, None] if squeeze else out
+
+
 def int4_matmul_stacked_tp(
     x: jnp.ndarray,  # (..., d)
     w4_all: jnp.ndarray,  # (L, G, g/2, n) nibble-packed

@@ -108,3 +108,27 @@ def test_generate_chunked_kv_int8_e2e():
     # greedy rollouts from the same weights usually agree; require at least
     # the first token to match (logit gaps at step 0 far exceed int8 noise)
     assert int(out.sequences[0, 0]) == int(ref.sequences[0, 0])
+
+
+def test_kv_int8_tp_sharded():
+    """Quant kernel composed with the model-axis mesh: head-sharded int8
+    cache + scales match the unsharded kernel on the simulated mesh."""
+    from jax.sharding import Mesh
+    from handsonvlm_tpu.parallel.tp import decode_attention_stacked_q_tp
+
+    L, B, S, K, D, H = 2, 2, 64, 4, 16, 8
+    ks_ = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(ks_[0], (B, H, D), jnp.float32)
+    ck = jax.random.normal(ks_[1], (L, B, S, K, D), jnp.float32)
+    cv = jax.random.normal(ks_[2], (L, B, S, K, D), jnp.float32)
+    qc = quantize_kv_cache(KVCache(k=ck, v=cv, index=jnp.asarray(50, jnp.int32)))
+
+    ref = decode_attention_stacked_q(
+        q, qc.k, qc.v, qc.ks, qc.vs, jnp.asarray(1), jnp.asarray(51))
+    devs = np.array(jax.devices()[:4]).reshape(1, 4)
+    mesh = Mesh(devs, ("data", "model"))
+    out = decode_attention_stacked_q_tp(
+        q, qc.k, qc.v, qc.ks, qc.vs, jnp.asarray(1), jnp.asarray(51),
+        mesh=mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
