@@ -95,7 +95,7 @@ class Collator:
         max_len = min(_round_up(max_len, self.pad_multiple), self.model_max_length)
         if self.seq_multiple > 1:
             pad = (-(max_len + self.splice_extra)) % self.seq_multiple
-            if max_len + pad + self.splice_extra <=                     self.model_max_length + self.splice_extra:
+            if max_len + pad <= self.model_max_length:
                 max_len += pad
             else:  # round down instead of exceeding the length budget
                 max_len -= self.seq_multiple - pad

@@ -166,6 +166,7 @@ class InferenceEngine:
             max_new_tokens=self.max_new_tokens, k=self.spec_k,
             temperature=self.temperature, top_p=self.top_p,
             attn_mask=attn, frame_map=frame_map, bank_ids=self._spec_bank,
+            kv_quant=self.kv_quant,
         )
         pred, valid = clip_pred_hands(
             jax.device_get(out.pred_hands), jax.device_get(out.num_hands)

@@ -265,6 +265,7 @@ def generate_spec(
     bank_ids: Optional[jnp.ndarray] = None,  # (N,) template-bank tokens
     max_len: int = 0,
     on_token=None,
+    kv_quant=None,  # "int8": quantized decode cache (models/llama.QuantKVCache)
 ):
     """Speculative generate, B=1. Returns (SampleOutput, stats dict with
     'iters' forwards and 'drafts_found'). Sampling distribution matches
@@ -292,6 +293,7 @@ def generate_spec(
         params, cfg, input_ids, jnp.asarray(images), max_len, attn_impl,
         None if attn_mask is None else jnp.asarray(attn_mask),
         None if frame_map is None else jnp.asarray(frame_map),
+        kv_quant=kv_quant,
     )
     rng, r0 = jax.random.split(rng)
     token, waypoint = _first_token(

@@ -24,12 +24,15 @@ def initialize(
     come from the environment automatically."""
     # NB: do NOT probe jax.process_count() here — it initializes the XLA
     # backend, after which jax.distributed.initialize() refuses to run
-    # (caught by tests/test_multihost_procs.py). Check the distributed
-    # client state directly instead.
-    from jax._src import distributed as _dist
+    # (caught by tests/test_multihost_procs.py).
+    try:
+        already = jax.distributed.is_initialized()
+    except AttributeError:  # older JAX: fall back to the client state
+        from jax._src import distributed as _dist
 
-    if getattr(_dist.global_state, "client", None) is not None:
-        return  # already initialized
+        already = getattr(_dist.global_state, "client", None) is not None
+    if already:
+        return
     env_says_multihost = any(
         k in os.environ for k in ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS")
     )

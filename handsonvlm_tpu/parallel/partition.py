@@ -108,13 +108,21 @@ def spec_for_path(path_str: str, rules=None) -> P:
 
 
 def _clamp_spec(spec: P, shape, mesh: Mesh) -> P:
-    """Drop sharding on dims not divisible by the assigned mesh axis size."""
+    """Drop sharding on dims not divisible by the assigned mesh axis size —
+    and on axes the mesh doesn't have at all (rules mention 'model', but a
+    --seq-parallel mesh is ('data','seq'): those dims stay replicated)."""
     out = []
     for dim, axis in zip(shape, tuple(spec) + (None,) * (len(shape) - len(spec))):
         if axis is None:
             out.append(None)
             continue
-        size = mesh.shape[axis] if not isinstance(axis, tuple) else 1
+        if isinstance(axis, tuple):
+            size = 1
+        elif axis not in mesh.shape:
+            out.append(None)
+            continue
+        else:
+            size = mesh.shape[axis]
         out.append(axis if size and dim % size == 0 else None)
     return P(*out)
 

@@ -71,6 +71,10 @@ def _ring_shard(q, k, v, key_mask, *, axis: str, causal: bool, scale: float,
     """Per-shard body (runs under shard_map): q/k/v (B, Tl, H, D) local;
     key_mask (B, Tl) local or None (it rotates with its kv block)."""
     b, tl, h, d = q.shape
+    kv_h = k.shape[2]
+    groups = h // kv_h  # GQA: kv blocks ride the ring UNREPEATED (1/groups
+    # the traffic); heads are repeated per hop for the einsum, like
+    # attention_xla's _repeat_kv
     my = jax.lax.axis_index(axis)
     perm = [(i, (i + 1) % p_size) for i in range(p_size)]
     q_pos = my * tl + jnp.arange(tl)
@@ -82,8 +86,12 @@ def _ring_shard(q, k, v, key_mask, *, axis: str, causal: bool, scale: float,
     for step in range(p_size):  # static: p_size is the mesh-axis size
         src = (my - step) % p_size  # block's home device = global offset
         k_pos = src * tl + jnp.arange(tl)
+        kk, vv = k, v
+        if groups > 1:
+            kk = jnp.repeat(k, groups, axis=2)
+            vv = jnp.repeat(v, groups, axis=2)
         m, l, acc = _block_attn_accum(
-            q, k, v, m, l, acc, q_pos, k_pos, scale, causal,
+            q, kk, vv, m, l, acc, q_pos, k_pos, scale, causal,
             key_mask=key_mask,
         )
         if step != p_size - 1:

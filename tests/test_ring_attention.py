@@ -143,3 +143,35 @@ def test_collator_seq_multiple_padding():
     batch = coll([dict(inst)])
     t_text = batch["input_ids"].shape[1]
     assert (t_text + 355) % 4 == 0, t_text
+
+
+def test_ring_gqa():
+    """kv_heads < num_heads (GQA): KV rides the ring unrepeated; output
+    matches attention_xla's repeated-KV reference."""
+    mesh = _mesh(4)
+    b, t, h, kh, d = 2, 16, 8, 2, 16
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(ks[0], (b, t, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, t, kh, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, t, kh, d), jnp.float32)
+    ref = attention_xla(q, k, v, causal=True)
+    out = ring_attention(q, k, v, mesh=mesh, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_shard_params_on_seq_mesh():
+    """shard_params rules mention the 'model' axis; on a ('data','seq')
+    mesh those dims must fall back to replicated instead of KeyError
+    (the --seq-parallel CLI startup path)."""
+    from handsonvlm_tpu.core.config import tiny_config
+    from handsonvlm_tpu.models.handsonvlm import init_handsonvlm
+    from handsonvlm_tpu.parallel.mesh import create_mesh
+    from handsonvlm_tpu.parallel.partition import shard_params
+
+    mesh = create_mesh(seq=4)
+    assert mesh.axis_names == ("data", "seq")
+    params = init_handsonvlm(jax.random.PRNGKey(0), tiny_config())
+    sharded = shard_params(params, mesh)  # must not raise
+    leaf = jax.tree_util.tree_leaves(sharded)[0]
+    assert leaf.sharding.mesh.axis_names == ("data", "seq")
