@@ -132,3 +132,23 @@ def test_kv_int8_tp_sharded():
         mesh=mesh)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_engine_kv_int8():
+    """InferenceEngine(kv_quant='int8') — the eval/serve wiring end-to-end
+    (batched generate_chunked path with frame dedup)."""
+    from handsonvlm_tpu.data.mock_tokenizer import MockTokenizer
+    from handsonvlm_tpu.eval.evaluator import InferenceEngine
+
+    params = init_handsonvlm(jax.random.PRNGKey(0), CFG)
+    eng = InferenceEngine(
+        params=params, cfg=CFG, tokenizer=MockTokenizer(),
+        max_new_tokens=6, temperature=0.0, kv_quant="int8",
+    )
+    rng_np = np.random.default_rng(0)
+    frames = rng_np.normal(size=(
+        CFG.num_frames, 3, CFG.vision.image_size, CFG.vision.image_size
+    )).astype(np.float32)
+    pred, valid, gen = eng.infer(
+        "where next?", frames[None], jax.random.PRNGKey(1))
+    assert pred.shape == (1, 2, 4, 2) and np.isfinite(pred).all()
