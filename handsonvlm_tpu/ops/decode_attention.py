@@ -113,16 +113,22 @@ def _decode_stacked_kernel(
     q_ref,  # (1, H, D)
     k_ref,  # (1, 1, block_k, K, D) — block of the FULL (L,B,S,K,D) cache
     v_ref,
-    mask_ref,  # (1, 1, block_k) int32
-    out_ref,  # (1, H, D)
-    acc_ref,  # scratch (H, D) f32
-    m_ref,  # scratch (H, 1) f32
-    l_ref,  # scratch (H, 1) f32
-    *,
+    *rest,  # [ks_ref, vs_ref,] mask_ref, out_ref, acc_ref, m_ref, l_ref
     scale: float,
     block_k: int,
     groups: int,
+    quant: bool = False,
 ):
+    """One online-softmax block step over one layer of the stacked cache.
+
+    With ``quant`` the cache blocks are int8 and two extra (1,1,K,block_k)
+    f32 scale refs follow v_ref; dequantization is exact and transpose-free
+    (k-scales multiply the score rows — q.k8*ks == (q.k8)*ks — and
+    v-scales fold into the probabilities — (p*vs).v8 == p.(v8*vs))."""
+    if quant:
+        ks_ref, vs_ref, mask_ref, out_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        mask_ref, out_ref, acc_ref, m_ref, l_ref = rest
     ki = pl.program_id(1)
     nk = pl.num_programs(1)
 
@@ -148,6 +154,8 @@ def _decode_stacked_kernel(
             qg, kg, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (K, groups, bk)
+        if quant:
+            s = s * ks_ref[0, 0][:, None, :]  # dequantize k on score rows
         s = s.reshape(h, -1) * scale  # (H, bk)
 
         pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (h, block_k), 1)
@@ -161,6 +169,8 @@ def _decode_stacked_kernel(
         l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=1, keepdims=True)
         vg = jnp.transpose(v, (1, 0, 2))
         pg = p.reshape(kh, groups, -1)
+        if quant:
+            pg = pg * vs_ref[0, 0][:, None, :]  # fold v scales in
         o = jax.lax.dot_general(
             pg, vg, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -198,6 +208,85 @@ def _pick_stacked_block(s: int, want: int) -> int:
     return bk
 
 
+def _stacked_call(q, ck, cv, layer_idx, length, key_mask, block_k,
+                  scales=None):
+    """Shared pallas_call builder for the bf16 and int8 stacked-cache
+    decode kernels (the only differences are the two scale operands and
+    the quant flag)."""
+    squeeze = q.ndim == 4
+    if squeeze:
+        assert q.shape[1] == 1
+        q = q[:, 0]
+    b, h, d = q.shape
+    sx = ck.shape[2]
+    kh = ck.shape[3]
+    groups = h // kh
+    scale = float(1.0 / (d**0.5))
+
+    block_k = _pick_stacked_block(sx, min(block_k, sx))
+    nk = _cdiv(sx, block_k)
+    if key_mask is None:
+        key_mask = jnp.ones((b, sx), bool)
+    mask = key_mask.astype(jnp.int32)[:, None, :]
+
+    scalars = jnp.stack(
+        [jnp.asarray(layer_idx, jnp.int32).reshape(()),
+         jnp.asarray(length, jnp.int32).reshape(())]
+    )
+
+    def _kblock(ki, sref):
+        # clamp: steps past the filled cache revisit the last valid block
+        # (no new DMA) and are skipped by the in-kernel predicate
+        last = (sref[1] - 1) // block_k
+        return jnp.minimum(ki, last)
+
+    cache_spec = pl.BlockSpec(
+        (1, 1, block_k, kh, d),
+        lambda b_, ki, sref: (sref[0], b_, _kblock(ki, sref), 0, 0),
+    )
+    scale_spec = pl.BlockSpec(
+        (1, 1, kh, block_k),
+        lambda b_, ki, sref: (sref[0], b_, 0, _kblock(ki, sref)),
+    )
+    in_specs = [
+        pl.BlockSpec((1, h, d), lambda b_, ki, sref: (b_, 0, 0)),
+        cache_spec,
+        cache_spec,
+    ]
+    operands = [q, ck, cv]
+    if scales is not None:
+        in_specs += [scale_spec, scale_spec]
+        operands += list(scales)
+    in_specs.append(
+        pl.BlockSpec((1, 1, block_k), lambda b_, ki, sref: (b_, 0, _kblock(ki, sref)))
+    )
+    operands.append(mask)
+
+    kernel = functools.partial(
+        _decode_stacked_kernel, scale=scale, block_k=block_k, groups=groups,
+        quant=scales is not None,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, nk),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, h, d), lambda b_, ki, sref: (b_, 0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((h, d), jnp.float32),
+                pltpu.VMEM((h, 1), jnp.float32),
+                pltpu.VMEM((h, 1), jnp.float32),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((b, h, d), q.dtype)],
+        interpret=_interpret(),
+    )(scalars, *operands)[0]
+    return out[:, None] if squeeze else out
+
+
 def decode_attention_stacked(
     q: jnp.ndarray,  # (B, 1, H, D) or (B, H, D)
     ck: jnp.ndarray,  # (L, B, S, K, D) FULL stacked cache (scan carry)
@@ -225,145 +314,7 @@ def decode_attention_stacked(
 
     Numerics: fp32 online softmax, identical to ops.attention (tested).
     """
-    squeeze = q.ndim == 4
-    if squeeze:
-        assert q.shape[1] == 1
-        q = q[:, 0]
-    b, h, d = q.shape
-    s = ck.shape[2]
-    kh = ck.shape[3]
-    groups = h // kh
-    scale = float(1.0 / (d**0.5))
-
-    block_k = _pick_stacked_block(s, min(block_k, s))
-    nk = _cdiv(s, block_k)
-    if key_mask is None:
-        key_mask = jnp.ones((b, s), bool)
-    mask = key_mask.astype(jnp.int32)[:, None, :]
-
-    scalars = jnp.stack(
-        [jnp.asarray(layer_idx, jnp.int32).reshape(()),
-         jnp.asarray(length, jnp.int32).reshape(())]
-    )
-
-    def _kblock(ki, sref):
-        # clamp: steps past the filled cache revisit the last valid block
-        # (no new DMA) and are skipped by the in-kernel predicate
-        last = (sref[1] - 1) // block_k
-        return jnp.minimum(ki, last)
-
-    kernel = functools.partial(
-        _decode_stacked_kernel, scale=scale, block_k=block_k, groups=groups
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(b, nk),
-            in_specs=[
-                pl.BlockSpec((1, h, d), lambda b_, ki, sref: (b_, 0, 0)),
-                pl.BlockSpec(
-                    (1, 1, block_k, kh, d),
-                    lambda b_, ki, sref: (sref[0], b_, _kblock(ki, sref), 0, 0),
-                ),
-                pl.BlockSpec(
-                    (1, 1, block_k, kh, d),
-                    lambda b_, ki, sref: (sref[0], b_, _kblock(ki, sref), 0, 0),
-                ),
-                pl.BlockSpec(
-                    (1, 1, block_k),
-                    lambda b_, ki, sref: (b_, 0, _kblock(ki, sref)),
-                ),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, h, d), lambda b_, ki, sref: (b_, 0, 0)),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((h, d), jnp.float32),
-                pltpu.VMEM((h, 1), jnp.float32),
-                pltpu.VMEM((h, 1), jnp.float32),
-            ],
-        ),
-        out_shape=[jax.ShapeDtypeStruct((b, h, d), q.dtype)],
-        interpret=_interpret(),
-    )(scalars, q, ck, cv, mask)[0]
-    return out[:, None] if squeeze else out
-
-
-def _decode_stacked_q_kernel(
-    s_ref,  # scalar prefetch (2,) int32: [layer_idx, length]
-    q_ref,  # (1, H, D)
-    k_ref,  # (1, 1, block_k, K, D) int8 block of the stacked cache
-    v_ref,
-    ks_ref,  # (1, 1, K, block_k) f32 per-(token, kv-head) scales
-    vs_ref,
-    mask_ref,  # (1, 1, block_k) int32
-    out_ref,  # (1, H, D)
-    acc_ref,  # scratch (H, D) f32
-    m_ref,  # scratch (H, 1) f32
-    l_ref,  # scratch (H, 1) f32
-    *,
-    scale: float,
-    block_k: int,
-    groups: int,
-):
-    """int8-KV variant of _decode_stacked_kernel. Dequantization is exact
-    and transpose-free: k = k8*ks is applied as a per-key scaling of the
-    score rows (q.k8*ks == (q.k8)*ks), and v = v8*vs folds into the
-    probabilities ((p*vs).v8 == p.(v8*vs))."""
-    ki = pl.program_id(1)
-    nk = pl.num_programs(1)
-
-    @pl.when(ki == 0)
-    def _init():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
-
-    length = s_ref[1]
-    run = ki * block_k < length
-
-    @pl.when(run)
-    def _compute():
-        q = q_ref[0].astype(jnp.float32)  # (H, D)
-        k = k_ref[0, 0].astype(jnp.float32)  # (bk, K, D) int8 -> f32
-        v = v_ref[0, 0].astype(jnp.float32)
-        ks = ks_ref[0, 0]  # (K, bk)
-        vs = vs_ref[0, 0]
-        h, d = q.shape
-        kh = k.shape[1]
-        qg = q.reshape(kh, groups, d)
-        kg = jnp.transpose(k, (1, 0, 2))  # (K, bk, D)
-        s = jax.lax.dot_general(
-            qg, kg, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (K, groups, bk)
-        s = s * ks[:, None, :]  # dequantize k on the score rows
-        s = s.reshape(h, -1) * scale  # (H, bk)
-
-        pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (h, block_k), 1)
-        ok = (pos < length) & (mask_ref[0, 0] > 0)[None, :]
-        s = jnp.where(ok, s, NEG_INF)
-
-        m_prev = m_ref[:]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        corr = jnp.exp(m_prev - m_new)
-        l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=1, keepdims=True)
-        vg = jnp.transpose(v, (1, 0, 2))  # (K, bk, D)
-        pg = p.reshape(kh, groups, -1) * vs[:, None, :]  # fold v scales in
-        o = jax.lax.dot_general(
-            pg, vg, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        acc_ref[:] = acc_ref[:] * corr + o.reshape(h, d)
-        m_ref[:] = m_new
-
-    @pl.when(ki == nk - 1)
-    def _finalize():
-        l = l_ref[:]
-        l_safe = jnp.where(l == 0.0, 1.0, l)
-        out_ref[0] = (acc_ref[:] / l_safe).astype(out_ref.dtype)
+    return _stacked_call(q, ck, cv, layer_idx, length, key_mask, block_k)
 
 
 def decode_attention_stacked_q(
@@ -381,75 +332,9 @@ def decode_attention_stacked_q(
     """decode_attention_stacked over an int8-quantized cache (halves the
     per-step cache DMA — the dominant decode-attention cost at batch; see
     docs/PERF_NOTES.md) with exact per-token-per-head dequantization."""
-    squeeze = q.ndim == 4
-    if squeeze:
-        assert q.shape[1] == 1
-        q = q[:, 0]
-    b, h, d = q.shape
-    s = ck.shape[2]
-    kh = ck.shape[3]
-    groups = h // kh
-    scale = float(1.0 / (d**0.5))
-
-    block_k = _pick_stacked_block(s, min(block_k, s))
-    nk = _cdiv(s, block_k)
-    if key_mask is None:
-        key_mask = jnp.ones((b, s), bool)
-    mask = key_mask.astype(jnp.int32)[:, None, :]
-
-    scalars = jnp.stack(
-        [jnp.asarray(layer_idx, jnp.int32).reshape(()),
-         jnp.asarray(length, jnp.int32).reshape(())]
+    return _stacked_call(
+        q, ck, cv, layer_idx, length, key_mask, block_k, scales=(ks, vs)
     )
-
-    def _kblock(ki, sref):
-        last = (sref[1] - 1) // block_k
-        return jnp.minimum(ki, last)
-
-    kernel = functools.partial(
-        _decode_stacked_q_kernel, scale=scale, block_k=block_k, groups=groups
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(b, nk),
-            in_specs=[
-                pl.BlockSpec((1, h, d), lambda b_, ki, sref: (b_, 0, 0)),
-                pl.BlockSpec(
-                    (1, 1, block_k, kh, d),
-                    lambda b_, ki, sref: (sref[0], b_, _kblock(ki, sref), 0, 0),
-                ),
-                pl.BlockSpec(
-                    (1, 1, block_k, kh, d),
-                    lambda b_, ki, sref: (sref[0], b_, _kblock(ki, sref), 0, 0),
-                ),
-                pl.BlockSpec(
-                    (1, 1, kh, block_k),
-                    lambda b_, ki, sref: (sref[0], b_, 0, _kblock(ki, sref)),
-                ),
-                pl.BlockSpec(
-                    (1, 1, kh, block_k),
-                    lambda b_, ki, sref: (sref[0], b_, 0, _kblock(ki, sref)),
-                ),
-                pl.BlockSpec(
-                    (1, 1, block_k),
-                    lambda b_, ki, sref: (b_, 0, _kblock(ki, sref)),
-                ),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, h, d), lambda b_, ki, sref: (b_, 0, 0)),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((h, d), jnp.float32),
-                pltpu.VMEM((h, 1), jnp.float32),
-                pltpu.VMEM((h, 1), jnp.float32),
-            ],
-        ),
-        out_shape=[jax.ShapeDtypeStruct((b, h, d), q.dtype)],
-        interpret=_interpret(),
-    )(scalars, q, ck, cv, ks, vs, mask)[0]
-    return out[:, None] if squeeze else out
 
 
 def decode_attention(
