@@ -98,6 +98,7 @@ def run_single():
     preset = os.environ.get("HANDSONVLM_BENCH_PRESET", "7b")
     max_new = int(os.environ.get("HANDSONVLM_BENCH_NEW_TOKENS", "64"))
     temp = float(os.environ.get("HANDSONVLM_BENCH_TEMP", "0.5"))
+    kv_quant = os.environ.get("HANDSONVLM_BENCH_KV") or None
     skip_baseline = os.environ.get("HANDSONVLM_BENCH_NOBASE", "0") == "1"
 
     import jax
@@ -204,7 +205,7 @@ def run_single():
             return generate_chunked(
                 params, cfg, ids_j, images_unique, jax.random.PRNGKey(seed),
                 max_new_tokens=max_new, temperature=temp, top_p=0.9, chunk=chunk,
-                frame_map=frame_map,
+                frame_map=frame_map, kv_quant=kv_quant,
             )
 
     out = run(0)
@@ -227,7 +228,8 @@ def run_single():
             "metric": f"decode_tokens_per_sec_{preset}"
             + ("_int8" if use_int8 else "_int4" if use_int4 else "")
             + (f"_spec{spec_k}" if spec_k > 0 else "")
-            + ("_greedy" if temp <= 0 else ""),
+            + ("_greedy" if temp <= 0 else "")
+            + ("_kv8" if kv_quant else ""),
             "value": round(cached_tps, 3),
             "unit": "tokens/s/chip",
             "platform": platform,
@@ -265,7 +267,8 @@ def run_single():
         "metric": f"decode_tokens_per_sec_{preset}"
         + ("_int8" if use_int8 else "_int4" if use_int4 else "")
         + (f"_spec{spec_k}" if spec_k > 0 else "")
-        + ("_greedy" if temp <= 0 else ""),
+        + ("_greedy" if temp <= 0 else "")
+        + ("_kv8" if kv_quant else ""),
         "value": round(cached_tps, 3),
         "unit": "tokens/s/chip",
         "vs_baseline": round(cached_tps / baseline_tps, 3),
@@ -285,6 +288,8 @@ MODE_ENV = {
     "spec_greedy": {"HANDSONVLM_BENCH_QUANT": "int4",
                     "HANDSONVLM_BENCH_SPEC": "4", "HANDSONVLM_BENCH_TEMP": "0"},
     "seq": {"HANDSONVLM_BENCH_QUANT": "int4", "HANDSONVLM_BENCH_SPEC": "0"},
+    "kv8": {"HANDSONVLM_BENCH_QUANT": "int4", "HANDSONVLM_BENCH_SPEC": "0",
+            "HANDSONVLM_BENCH_KV": "int8"},
     "int8": {"HANDSONVLM_BENCH_QUANT": "int8", "HANDSONVLM_BENCH_SPEC": "0"},
     "bf16": {"HANDSONVLM_BENCH_QUANT": "", "HANDSONVLM_BENCH_SPEC": "0"},
     "train": {"HANDSONVLM_BENCH_TRAIN": "1"},
