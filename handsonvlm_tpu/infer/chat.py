@@ -28,6 +28,8 @@ def main():
     p.add_argument("--max-new-tokens", type=int, default=100)
     p.add_argument("--int8", action="store_true", help="int8 weight-only decoder")
     p.add_argument("--int4", action="store_true", help="int4 (group-128) weight-only decoder")
+    p.add_argument("--kv-int8", action="store_true",
+                   help="int8-quantized decode cache")
     p.add_argument("--spec", type=int, default=0, metavar="K",
                    help="speculative decode with K-token n-gram drafts over "
                         "a template bank + history (infer/speculative.py; "
@@ -113,6 +115,7 @@ def main():
                 temperature=args.temperature, top_p=args.top_p,
                 frame_map=frame_map,
                 bank_ids=build_template_bank(tokenizer, cfg, (user_input,)),
+                kv_quant="int8" if args.kv_int8 else None,
             )
             n0 = int(out.num_tokens[0])
             print(tokenizer.decode(np.asarray(out.sequences[0, :n0])),
@@ -124,6 +127,7 @@ def main():
                 temperature=args.temperature, top_p=args.top_p,
                 frame_map=frame_map, on_token=stream,
                 stop_strs=[stop_str] if stop_str else None, tokenizer=tokenizer,
+                kv_quant="int8" if args.kv_int8 else None,
             )
         print()
         n = int(out.num_tokens[0])

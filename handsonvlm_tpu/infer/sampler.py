@@ -561,6 +561,7 @@ def generate_host(
     on_token=None,
     stop_strs=None,
     tokenizer=None,
+    kv_quant=None,  # "int8": quantized decode cache
 ) -> SampleOutput:
     """Host-driven generate: jitted prefill + jitted per-token step.
 
@@ -590,7 +591,7 @@ def generate_host(
         params, cfg, input_ids, jnp.asarray(images), max_len, attn_impl,
         None if attn_mask is None else jnp.asarray(attn_mask),
         None if frame_map is None else jnp.asarray(frame_map),
-        tp_mesh=tp_mesh,
+        tp_mesh=tp_mesh, kv_quant=kv_quant,
     )
 
     rng, r0 = jax.random.split(rng)
