@@ -152,3 +152,22 @@ def test_engine_kv_int8():
     pred, valid, gen = eng.infer(
         "where next?", frames[None], jax.random.PRNGKey(1))
     assert pred.shape == (1, 2, 4, 2) and np.isfinite(pred).all()
+
+
+def test_generate_host_kv_int8():
+    """chat path (--kv-int8): host-driven per-token decode over the
+    quantized cache."""
+    from handsonvlm_tpu.infer.sampler import generate_host
+
+    params = init_handsonvlm(jax.random.PRNGKey(42), CFG)
+    rng_np = np.random.default_rng(0)
+    ids = rng_np.integers(3, 1000, size=(1, 12))
+    ids[0, 1] = IMAGE_TOKEN_INDEX
+    images = rng_np.normal(size=(
+        1, CFG.num_frames, 3, CFG.vision.image_size, CFG.vision.image_size
+    )).astype(np.float32)
+    out = generate_host(params, CFG, ids, images, jax.random.PRNGKey(7),
+                        max_new_tokens=6, temperature=0.0, attn_impl="xla",
+                        kv_quant="int8")
+    assert int(out.num_tokens[0]) >= 1
+    assert np.isfinite(np.asarray(out.pred_hands)).all()
