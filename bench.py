@@ -359,6 +359,27 @@ def run_train_single():
     }))
 
 
+def subprocess_probe_backend(timeout_s: int = 600):
+    """Returns None when the device backend comes up inside timeout_s,
+    else a short error string. Runs in a child so a hung init can be
+    killed."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(len(jax.devices()))"],
+            capture_output=True, text=True, timeout=timeout_s,
+            env=dict(os.environ),
+        )
+    except subprocess.TimeoutExpired:
+        return f"device init hung >{timeout_s}s"
+    if proc.returncode != 0:
+        return (proc.stderr or proc.stdout).strip().splitlines()[-1][:200] \
+            if (proc.stderr or proc.stdout).strip() else f"rc={proc.returncode}"
+    return None
+
+
 def _run_mode(mode: str, extra_env: dict, timeout_s: int = 3000):
     """One bench mode in its own process (the only reliable way to return
     device memory on this backend — see module docstring). Returns the
@@ -404,6 +425,19 @@ def main():
         ).split(",")
         if m.strip() in MODE_ENV
     ] or ["spec"]
+
+    # fail fast on a dead backend: the axon tunnel can hang device init
+    # for hours (2026-08-17 outage); don't burn the per-mode timeout x6
+    probe = subprocess_probe_backend(timeout_s=int(
+        os.environ.get("HANDSONVLM_BENCH_PROBE_TIMEOUT", "600")))
+    if probe is not None:
+        print(json.dumps({
+            "metric": f"decode_tokens_per_sec_{preset}", "value": 0.0,
+            "unit": "tokens/s/chip", "vs_baseline": 0.0,
+            "error": f"backend unavailable: {probe}",
+            "wall_s": round(time.time() - t0, 1),
+        }))
+        return
 
     headline = _run_mode(modes[0], {})
     result = dict(headline)
