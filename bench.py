@@ -29,8 +29,12 @@ Secondary modes land in the "modes" field of the single JSON line.
 
 Env:
   HANDSONVLM_BENCH_PRESET = 7b (default) | 13b | 1b | graft
-  HANDSONVLM_BENCH_MODES = seq,spec,spec_greedy,int8,bf16,train
+  HANDSONVLM_BENCH_MODES = seq,spec,spec_greedy,kv8,int8,bf16,train
                            (default; first is headline)
+  HANDSONVLM_BENCH_PROBE_TIMEOUT / _PROBE_WALL = per-probe timeout (300) /
+                           total retry budget (2400) before declaring the
+                           backend down (outage artifact keeps last-good
+                           local context)
   HANDSONVLM_BENCH_QUANT = int4 (default: the production serving mode)
                            | int8 | "" (bf16)   [single-process modes]
   HANDSONVLM_BENCH_NEW_TOKENS = 64
@@ -380,6 +384,74 @@ def subprocess_probe_backend(timeout_s: int = 600):
     return None
 
 
+def probe_backend_with_retries():
+    """Backend probe with a bounded retry schedule: the axon tunnel goes
+    down for stretches (a single probe at the wrong minute erased round 2's
+    whole perf record, BENCH_r02.json). Re-probes every ~5 min up to
+    HANDSONVLM_BENCH_PROBE_WALL seconds (default 40 min). Returns None on
+    success, else the last error string."""
+    per_try = int(os.environ.get("HANDSONVLM_BENCH_PROBE_TIMEOUT", "300"))
+    wall = int(os.environ.get("HANDSONVLM_BENCH_PROBE_WALL", "2400"))
+    t0 = time.time()
+    attempt, err = 0, "unprobed"
+    while True:
+        attempt += 1
+        remaining = wall - (time.time() - t0)
+        if attempt > 1 and remaining <= 10:
+            return f"{err} (after {attempt - 1} probes over {wall}s)"
+        budget = per_try if attempt == 1 else max(30, min(per_try, int(remaining)))
+        t_probe = time.time()
+        err = subprocess_probe_backend(timeout_s=budget)
+        if err is None:
+            return None
+        print(f"bench: backend probe {attempt} failed ({err}); "
+              f"{max(0, int(wall - (time.time() - t0)))}s of retry budget left",
+              file=sys.stderr, flush=True)
+        # a fast failure (backend raised) still waits out the 5-min slot so
+        # the schedule covers the whole wall instead of burning attempts
+        slack = 300 - (time.time() - t_probe)
+        if slack > 0 and (time.time() - t0) + slack < wall:
+            time.sleep(slack)
+
+
+def last_good_local(path: str = "BENCH_LOCAL.json"):
+    """Newest BENCH_LOCAL.json record with a nonzero value, for outage
+    artifacts: the reported value stays 0.0 (honesty — nothing ran), but
+    the artifact carries the last builder-measured number + its age.
+    Prefers the headline metric (int4 sequential decode for the active
+    preset) over whatever mode happened to run last."""
+    preset = os.environ.get("HANDSONVLM_BENCH_PRESET", "7b")
+    headline_metric = f"decode_tokens_per_sec_{preset}_int4"
+    try:
+        here = os.path.join(os.path.dirname(os.path.abspath(__file__)), path)
+        best, best_headline = None, None
+        with open(here) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if rec.get("value", 0) > 0:
+                    best = rec
+                    if rec.get("metric") == headline_metric:
+                        best_headline = rec
+        best = best_headline or best
+        if best is None:
+            return None
+        mtime = os.path.getmtime(here)
+        return {
+            "note": ("builder-local measurement from a prior session; NOT "
+                     "produced by this run (backend was unavailable)"),
+            "file_age_hours": round((time.time() - mtime) / 3600, 1),
+            **best,
+        }
+    except OSError:
+        return None
+
+
 def _run_mode(mode: str, extra_env: dict, timeout_s: int = 3000):
     """One bench mode in its own process (the only reliable way to return
     device memory on this backend — see module docstring). Returns the
@@ -421,22 +493,27 @@ def main():
     modes = [
         m.strip()
         for m in os.environ.get(
-            "HANDSONVLM_BENCH_MODES", "seq,spec,spec_greedy,int8,bf16,train"
+            "HANDSONVLM_BENCH_MODES", "seq,spec,spec_greedy,kv8,int8,bf16,train"
         ).split(",")
         if m.strip() in MODE_ENV
     ] or ["spec"]
 
-    # fail fast on a dead backend: the axon tunnel can hang device init
-    # for hours (2026-08-17 outage); don't burn the per-mode timeout x6
-    probe = subprocess_probe_backend(timeout_s=int(
-        os.environ.get("HANDSONVLM_BENCH_PROBE_TIMEOUT", "600")))
+    # dead-backend handling: the axon tunnel can hang device init for hours
+    # (2026-08-17 outage wiped the round-2 record). Retry on a ~5-min
+    # schedule up to a 40-min wall; on persistent outage emit an artifact
+    # that still carries the last builder-local measurement for context.
+    probe = probe_backend_with_retries()
     if probe is not None:
-        print(json.dumps({
+        out = {
             "metric": f"decode_tokens_per_sec_{preset}", "value": 0.0,
             "unit": "tokens/s/chip", "vs_baseline": 0.0,
             "error": f"backend unavailable: {probe}",
             "wall_s": round(time.time() - t0, 1),
-        }))
+        }
+        lg = last_good_local()
+        if lg is not None:
+            out["last_good_local"] = lg
+        print(json.dumps(out))
         return
 
     headline = _run_mode(modes[0], {})

@@ -8,6 +8,7 @@ device — no gather — and restores directly into the target shardings.
 
 from __future__ import annotations
 
+import logging
 import os
 import re
 from typing import Any, Optional
@@ -137,7 +138,12 @@ def _restore_params_subtree(path: str) -> Any:
             ),
         )
         return restored["params"]
-    except Exception:  # orbax API drift: fall back to the full-state read
+    except Exception as e:  # orbax API drift: fall back to the full-state read
+        logging.getLogger(__name__).warning(
+            "partial params restore failed (%s: %s); falling back to the "
+            "full train-state read — ~3x restore I/O and host RAM at 7B",
+            type(e).__name__, e,
+        )
         return ocp.StandardCheckpointer().restore(path)["params"]
 
 

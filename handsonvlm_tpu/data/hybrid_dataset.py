@@ -14,6 +14,7 @@ new program per batch max-length.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -73,6 +74,8 @@ class Collator:
     # (train --seq-parallel) falls back to unsharded attention otherwise
     seq_multiple: int = 1
     splice_extra: int = 0
+    _warned_truncation: bool = dataclasses.field(
+        default=False, repr=False, compare=False)
 
     def __call__(self, instances: Sequence[Dict]) -> Dict[str, np.ndarray]:
         b = len(instances)
@@ -91,14 +94,24 @@ class Collator:
                 inst["image"] = img
             assert inst["image"].shape[0] == self.num_frames, inst["image"].shape
 
-        max_len = max(len(i["input_ids"]) for i in instances)
-        max_len = min(_round_up(max_len, self.pad_multiple), self.model_max_length)
+        longest = max(len(i["input_ids"]) for i in instances)
+        max_len = min(_round_up(longest, self.pad_multiple), self.model_max_length)
         if self.seq_multiple > 1:
             pad = (-(max_len + self.splice_extra)) % self.seq_multiple
             if max_len + pad <= self.model_max_length:
                 max_len += pad
             else:  # round down instead of exceeding the length budget
                 max_len -= self.seq_multiple - pad
+                if longest > max_len and not self._warned_truncation:
+                    self._warned_truncation = True
+                    logging.getLogger(__name__).warning(
+                        "seq-parallel collator truncating %d-token sequence "
+                        "to %d (model_max_length=%d is not a multiple of "
+                        "seq_multiple=%d after splice_extra=%d); trailing "
+                        "tokens/labels are dropped for max-length rows",
+                        longest, max_len, self.model_max_length,
+                        self.seq_multiple, self.splice_extra,
+                    )
 
         input_ids = np.full((b, max_len), self.pad_token_id, np.int64)
         labels = np.full((b, max_len), IGNORE_INDEX, np.int64)

@@ -32,6 +32,7 @@ the first generation of a template sentence finds long drafts.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional, Tuple
 
@@ -228,9 +229,11 @@ def spec_chunk(
         n_tokens = state["n_tokens"] + n_eff
         finished = fin | hit_eos | (n_tokens >= max_new_tokens)
 
-        cache = KVCache(
-            k=cache2.k, v=cache2.v, index=cache.index + n_eff
-        )
+        # rebuild with the SAME cache type: with kv_quant="int8" cache2 is a
+        # QuantKVCache (k/v int8 + ks/vs scales); constructing a plain
+        # KVCache here made the lax.cond branches return different pytree
+        # structures (trace-time TypeError) and dropped the scales.
+        cache = dataclasses.replace(cache2, index=cache.index + n_eff)
         new_state = dict(
             state,
             buf=buf, buf_len=state["buf_len"] + n_eff,

@@ -89,7 +89,7 @@ function vote(kind){
 $('up').onclick=()=>vote('upvote'); $('down').onclick=()=>vote('downvote');
 $('flag').onclick=()=>vote('flag');
 $('clear').onclick=()=>{history=[]; renderChat(); $('out').textContent='';};
-$('regen').onclick=()=>{ if(history.length){const [u,_]=history.pop(); renderChat(); send(u);} };
+$('regen').onclick=()=>{ if(history.length){const popped=history.pop(); renderChat(); send(popped[0], popped);} };
 fetch('/list_models', {method:'POST'}).then(r=>r.json()).then(d=>{
   for (const m of d.models) { const o=document.createElement('option'); o.textContent=m; $('model').append(o); }
 });
@@ -125,7 +125,7 @@ function drawTraj(pred) {
       ctx.beginPath();ctx.arc(p[0]*c.width,p[1]*c.height,4,0,7);ctx.fill();});
   });
 }
-async function send(promptText){
+async function send(promptText, restoreOnFail){
   $('out').textContent='';
   for(const id of ['go','regen','clear']){const el=$(id); if(el) el.disabled=true;}
   lastPrompt = promptText;
@@ -150,7 +150,13 @@ async function send(promptText){
       }
     }
     if (finalText) { history.push([promptText, finalText]); renderChat(); }
-  } finally { for(const id of ['go','regen','clear']){const el=$(id); if(el) el.disabled=false;} }
+  } finally {
+    // regenerate popped the last turn before sending; if the retry failed
+    // (worker error, empty text, fetch exception) restore it so the
+    // conversation state isn't silently lost
+    if (!finalText && restoreOnFail) { history.push(restoreOnFail); renderChat(); }
+    for(const id of ['go','regen','clear']){const el=$(id); if(el) el.disabled=false;}
+  }
 }
 $('go').onclick = () => send($('prompt').value);
 </script></body></html>

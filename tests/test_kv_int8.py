@@ -154,6 +154,37 @@ def test_engine_kv_int8():
     assert pred.shape == (1, 2, 4, 2) and np.isfinite(pred).all()
 
 
+def test_generate_spec_kv_int8():
+    """spec x kv8: the speculative loop must thread the QuantKVCache type
+    through its lax.cond carry (round-2 regression: _active_body rebuilt a
+    plain KVCache, dropping ks/vs and crashing tracing with mismatched cond
+    branch pytrees). Greedy spec over the int8 cache matches greedy
+    sequential over the int8 cache token-for-token."""
+    from handsonvlm_tpu.infer.sampler import generate_chunked
+    from handsonvlm_tpu.infer.speculative import generate_spec
+
+    params = init_handsonvlm(jax.random.PRNGKey(42), CFG)
+    rng_np = np.random.default_rng(0)
+    ids = rng_np.integers(3, 1000, size=(1, 12))
+    ids[0, 1] = IMAGE_TOKEN_INDEX
+    images = rng_np.normal(size=(
+        1, CFG.num_frames, 3, CFG.vision.image_size, CFG.vision.image_size
+    )).astype(np.float32)
+
+    kwargs = dict(max_new_tokens=10, temperature=0.0, attn_impl="xla",
+                  kv_quant="int8")
+    ref = generate_chunked(params, CFG, ids, images, jax.random.PRNGKey(7),
+                           chunk=4, **kwargs)
+    out, stats = generate_spec(params, CFG, ids, images, jax.random.PRNGKey(7),
+                               k=3, chunk_iters=4, **kwargs)
+    n = int(ref.num_tokens[0])
+    assert int(out.num_tokens[0]) == n, (int(out.num_tokens[0]), n)
+    np.testing.assert_array_equal(
+        np.asarray(out.sequences[0, :n]), np.asarray(ref.sequences[0, :n]))
+    assert int(out.num_hands[0]) == int(ref.num_hands[0])
+    assert stats["iters"] >= 1
+
+
 def test_generate_host_kv_int8():
     """chat path (--kv-int8): host-driven per-token decode over the
     quantized cache."""
