@@ -243,34 +243,183 @@ def preprocess(
 # ---------------------------------------------------------------------------
 
 
+class SpmHFShim:
+    """HF-slow-tokenizer-shaped facade over the pure-python sentencepiece
+    loader (data/spm_model.py). Exists so a checkpoint shipping ONLY a
+    `tokenizer.model` file is loadable with zero dependencies (the
+    `sentencepiece` package is absent in this environment and the fast
+    tokenizer needs tokenizer.json). Mirrors the slow LlamaTokenizer's
+    legacy behavior the reference ran on (transformers 4.31,
+    builder.py:89 use_fast=False): BOS prepended once, text split on added
+    tokens with each chunk sentencepiece-encoded independently (so each
+    chunk gets the dummy prefix — the documented 'legacy' semantics)."""
+
+    def __init__(self, model_file: str, model_max_length: int = 2048):
+        import re
+
+        from handsonvlm_tpu.data.spm_model import SentencePieceModel
+
+        self._re = re
+        self.sp = SentencePieceModel.load(model_file)
+        self.bos_token_id = self.sp.bos_id if self.sp.bos_id >= 0 else None
+        self.eos_token_id = self.sp.eos_id if self.sp.eos_id >= 0 else None
+        self.pad_token_id = self.sp.pad_id if self.sp.pad_id >= 0 else None
+        self.unk_token_id = self.sp.unk_id
+        self.model_max_length = model_max_length
+        self._added: Dict[str, int] = {}
+        self._added_ids: Dict[int, str] = {}
+        # HF treats unk/bos/eos(/pad) as special tokens that are split out
+        # of the text and mapped to their ids BEFORE sentencepiece runs
+        # (spm itself never matches CONTROL pieces from text) — the
+        # preprocess_v1 masking arithmetic depends on '</s>' encoding as
+        # exactly one token
+        self._split_tokens: Dict[str, int] = {}
+        for i in (self.sp.unk_id, self.sp.bos_id, self.sp.eos_id, self.sp.pad_id):
+            if i is not None and 0 <= i < self.sp.vocab_size():
+                self._split_tokens[self.sp.id_to_piece(i)] = i
+        self._split = None
+        self._rebuild_split_re()
+
+    def _rebuild_split_re(self):
+        toks = {**self._split_tokens, **self._added}
+        if toks:
+            pat = "|".join(
+                self._re.escape(t) for t in sorted(toks, key=len, reverse=True)
+            )
+            self._split = self._re.compile(f"({pat})")
+        self._split_ids = toks
+
+    def __len__(self):
+        return self.sp.vocab_size() + len(self._added)
+
+    def add_tokens(self, tokens) -> int:
+        if isinstance(tokens, str):
+            tokens = [tokens]
+        n = 0
+        for t in tokens:
+            if t in self._added or t in self.sp._piece_to_id:
+                continue
+            idx = self.sp.vocab_size() + len(self._added)
+            self._added[t] = idx
+            self._added_ids[idx] = t
+            n += 1
+        self._rebuild_split_re()
+        return n
+
+    def convert_tokens_to_ids(self, tokens):
+        single = isinstance(tokens, str)
+        ts = [tokens] if single else tokens
+        out = [self._added.get(t, self.sp.piece_to_id(t)) for t in ts]
+        return out[0] if single else out
+
+    def encode(self, text: str) -> List[int]:
+        ids: List[int] = []
+        if self.bos_token_id is not None:
+            ids.append(self.bos_token_id)
+        chunks = self._split.split(text) if self._split else [text]
+        for chunk in chunks:
+            if not chunk:
+                continue
+            if chunk in self._split_ids:
+                ids.append(self._split_ids[chunk])
+            else:
+                ids.extend(self.sp.encode(chunk))
+        return ids
+
+    class _Encoding:
+        def __init__(self, input_ids):
+            self.input_ids = input_ids
+
+    def __call__(self, text: str):
+        return self._Encoding(self.encode(text))
+
+    def decode(self, ids) -> str:
+        # HF-style: sub-sequences between added tokens decode via spm and
+        # join with single spaces around the added-token strings
+        segs: List[str] = []
+        run: List[int] = []
+
+        def flush():
+            if run:
+                segs.append(self.sp.decode(run))
+                run.clear()
+
+        for i in ids:
+            i = int(i)
+            if i in self._added_ids:
+                flush()
+                segs.append(self._added_ids[i])
+            else:
+                run.append(i)
+        flush()
+        return " ".join(s for s in segs if s)
+
+
 class HFTokenizer:
-    """Wraps a transformers LlamaTokenizer with the HandsOnVLM vocab surgery."""
+    """Wraps a transformers LlamaTokenizer with the HandsOnVLM vocab surgery.
+
+    `path` may also point directly at a sentencepiece `tokenizer.model`
+    file (or a directory containing only one): those load through the
+    dependency-free pure-python backend (SpmHFShim)."""
 
     def __init__(self, path: str, model_max_length: int = 2048):
+        import os
+
         import transformers
 
-        try:
-            # the reference loads the slow sentencepiece tokenizer
-            # (builder.py:89 use_fast=False); environments without the
-            # sentencepiece package (this repo's CI) fall back to the fast
-            # tokenizer, which produces identical ids from the same vocab
-            self.tok = transformers.AutoTokenizer.from_pretrained(
-                path, use_fast=False
+        spm_file = None
+        if path.endswith(".model") and os.path.isfile(path):
+            spm_file = path
+        elif os.path.isdir(path):
+            # a checkpoint dir shipping ONLY tokenizer.model (no
+            # tokenizer_config.json/tokenizer.json) can't go through
+            # AutoTokenizer at all — route straight to the pure-python
+            # backend instead of failing in AutoConfig
+            model_file = os.path.join(path, "tokenizer.model")
+            has_hf_files = any(
+                os.path.isfile(os.path.join(path, f))
+                for f in ("tokenizer_config.json", "tokenizer.json")
             )
-        except Exception as e:
-            # scope the fallback to the documented missing-sentencepiece
-            # case; anything else (bad path, corrupt files) should surface
-            if not isinstance(e, (ImportError, ModuleNotFoundError)) and \
-                    "sentencepiece" not in str(e).lower():
-                raise
-            import logging
+            if os.path.isfile(model_file) and not has_hf_files:
+                spm_file = model_file
+        if spm_file is not None:
+            self.tok = SpmHFShim(spm_file, model_max_length)
+        else:
+            try:
+                # the reference loads the slow sentencepiece tokenizer
+                # (builder.py:89 use_fast=False); environments without the
+                # sentencepiece package (this repo's CI) fall back to the fast
+                # tokenizer, which produces identical ids from the same vocab
+                self.tok = transformers.AutoTokenizer.from_pretrained(
+                    path, use_fast=False
+                )
+            except Exception as e:
+                # scope the fallback to the documented missing-sentencepiece
+                # case; anything else (bad path, corrupt files) should surface
+                if not isinstance(e, (ImportError, ModuleNotFoundError)) and \
+                        "sentencepiece" not in str(e).lower():
+                    raise
+                import logging
 
-            logging.getLogger(__name__).warning(
-                "slow tokenizer load failed (%s); falling back to use_fast=True", e
-            )
-            self.tok = transformers.AutoTokenizer.from_pretrained(
-                path, use_fast=True
-            )
+                try:
+                    self.tok = transformers.AutoTokenizer.from_pretrained(
+                        path, use_fast=True
+                    )
+                    logging.getLogger(__name__).warning(
+                        "slow tokenizer load failed (%s); fell back to "
+                        "use_fast=True", e
+                    )
+                except Exception:
+                    # no fast files either: a bare tokenizer.model in the
+                    # checkpoint dir loads through the pure-python backend
+                    model_file = os.path.join(path, "tokenizer.model")
+                    if not os.path.isfile(model_file):
+                        raise
+                    logging.getLogger(__name__).warning(
+                        "transformers load failed (%s); loading %s with the "
+                        "pure-python sentencepiece backend", e, model_file
+                    )
+                    self.tok = SpmHFShim(model_file, model_max_length)
         self.tok.model_max_length = model_max_length
         self.model_max_length = model_max_length
         # tokenizer surgery, replaying builder.py:113-152
