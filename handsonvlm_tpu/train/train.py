@@ -27,6 +27,13 @@ def main():
     p.add_argument("--num-frames", type=int, default=0,
                    help="override the preset's video frame slots "
                         "(reference ModelArguments.num_frames; 0 = preset)")
+    p.add_argument("--max-len", type=int, default=0,
+                   help="context length budget (0 = preset, 2048 like the "
+                        "reference's model_max_length). >2048 lifts the "
+                        "reference's cap: RoPE here is computed from "
+                        "positions directly (no table), pair with "
+                        "--seq-parallel to shard attention over the seq "
+                        "axis (e.g. --max-len 4096 --seq-parallel 4)")
     p.add_argument("--output-dir", required=True)
     p.add_argument("--ek-version", default="ek100")
     p.add_argument("--epochs", type=int, default=40)
@@ -119,10 +126,21 @@ def main():
     params, cfg, tokenizer = load_pretrained_model(
         args.model_path, args.preset, quantize=args.qlora
     )
-    if args.num_frames:
+    if args.num_frames or args.max_len:
         import dataclasses as _dc
 
-        cfg = _dc.replace(cfg, num_frames=args.num_frames)
+        if args.num_frames:
+            cfg = _dc.replace(cfg, num_frames=args.num_frames)
+        if args.max_len:
+            cfg = _dc.replace(
+                cfg, max_length=args.max_len,
+                llama=_dc.replace(
+                    cfg.llama,
+                    max_position_embeddings=max(
+                        args.max_len, cfg.llama.max_position_embeddings),
+                ),
+            )
+            tokenizer.model_max_length = args.max_len
     freeze = ("vision",)
     if args.lora_r:
         from handsonvlm_tpu.models.lora import init_lora

@@ -175,3 +175,97 @@ def test_shard_params_on_seq_mesh():
     sharded = shard_params(params, mesh)  # must not raise
     leaf = jax.tree_util.tree_leaves(sharded)[0]
     assert leaf.sharding.mesh.axis_names == ("data", "seq")
+
+
+def test_rope_extrapolates_beyond_2048():
+    """Long-context mechanism check: RoPE here is computed directly from
+    positions (models/llama.py:rope_cos_sin, no 2048-row table like HF's
+    cached sin/cos), so positions past the reference's
+    max_position_embeddings produce the exact analytic angles."""
+    from handsonvlm_tpu.models.llama import apply_rope, rope_cos_sin
+
+    hd, theta = 16, 10000.0
+    pos = jnp.asarray([[0, 2047, 2048, 4095, 8191]], jnp.int32)
+    cos, sin = rope_cos_sin(pos, hd, theta)
+    inv = 1.0 / theta ** (np.arange(0, hd, 2) / hd)
+    ang = np.asarray(pos, np.float64)[..., None] * inv  # (1,5,hd/2)
+    want_cos = np.concatenate([np.cos(ang), np.cos(ang)], -1)
+    want_sin = np.concatenate([np.sin(ang), np.sin(ang)], -1)
+    # fp32 trig at ~8k-radian angles carries ~5e-5 absolute error (same as
+    # HF's fp32 rotary tables) — tolerance reflects that, not a logic gap
+    np.testing.assert_allclose(np.asarray(cos), want_cos, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(sin), want_sin, atol=2e-4)
+
+    # rotation preserves norms and relative-position structure at T>2048:
+    # q.k depends only on the position DELTA
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 5, 2, hd))
+    qr = apply_rope(q, cos, sin)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(qr), axis=-1),
+        np.linalg.norm(np.asarray(q), axis=-1), rtol=1e-5)
+    # pairs (2047,2048) and (4095,4096) have the same delta=1 dot product
+    pos2 = jnp.asarray([[2047, 2048, 4095, 4096]], jnp.int32)
+    cos2, sin2 = rope_cos_sin(pos2, hd, theta)
+    x = jnp.tile(jax.random.normal(jax.random.PRNGKey(1), (1, 1, 1, hd)), (1, 4, 1, 1))
+    xr = apply_rope(x, cos2, sin2)
+    d01 = float(jnp.sum(xr[0, 0, 0] * xr[0, 1, 0]))
+    d23 = float(jnp.sum(xr[0, 2, 0] * xr[0, 3, 0]))
+    np.testing.assert_allclose(d01, d23, rtol=1e-4)
+
+
+def test_seq_parallel_train_step_t4096():
+    """The long-context recipe end-to-end at T=4096 (2x the reference's
+    hard cap): full SFT train step with 8-way ring attention over the
+    ('data','seq') mesh at a spliced length of 4096, parity vs the
+    unsharded step. Pairs with train.py --max-len 4096 --seq-parallel 8."""
+    import dataclasses
+
+    import optax
+
+    from handsonvlm_tpu.constants import IMAGE_TOKEN_INDEX
+    from handsonvlm_tpu.core.config import tiny_config
+    from handsonvlm_tpu.models.handsonvlm import init_handsonvlm
+    from handsonvlm_tpu.train.step import make_train_step
+    from handsonvlm_tpu.train.train_state import TrainState
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, max_length=4096,
+        llama=dataclasses.replace(cfg.llama, max_position_embeddings=4096))
+    t_spliced = 4096
+    t_text = t_spliced - (cfg.num_visual_tokens - 1)
+    rng_np = np.random.default_rng(0)
+    b = 1
+    ids = rng_np.integers(3, 1000, size=(b, t_text))
+    ids[:, 1] = IMAGE_TOKEN_INDEX
+    labels = ids.copy()
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "attn_mask": jnp.ones((b, t_text), bool),
+        "image": jnp.asarray(rng_np.normal(size=(
+            b, cfg.num_frames, 3, cfg.vision.image_size, cfg.vision.image_size
+        )).astype(np.float32)),
+        "labels": jnp.asarray(labels),
+        "future_hands": jnp.asarray(
+            rng_np.uniform(size=(b, 2, 5, 2)).astype(np.float32)),
+        "future_valid": jnp.ones((b, 2), jnp.int32),
+    }
+    tx = optax.sgd(1e-3)
+
+    def fresh_state():
+        p = init_handsonvlm(jax.random.PRNGKey(0), cfg)
+        return TrainState(step=jnp.asarray(0), params=p, opt_state=tx.init(p))
+
+    _, m_ref = make_train_step(cfg, tx, attn_impl="xla")(
+        fresh_state(), batch, jax.random.PRNGKey(3))
+
+    devs = np.array(jax.devices()[:8]).reshape(1, 8)
+    mesh = Mesh(devs, ("data", "seq"))
+    _, m_sp = make_train_step(cfg, tx, attn_impl="xla", seq_mesh=mesh)(
+        fresh_state(), batch, jax.random.PRNGKey(3))
+
+    assert np.isfinite(float(m_sp["loss"]))
+    np.testing.assert_allclose(float(m_sp["loss"]), float(m_ref["loss"]),
+                               rtol=2e-4)
+    np.testing.assert_allclose(float(m_sp["grad_norm"]),
+                               float(m_ref["grad_norm"]), rtol=2e-3)
