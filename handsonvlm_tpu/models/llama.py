@@ -278,15 +278,38 @@ def _layer(
                 cv, vx[None].astype(cv.dtype), (layer_idx, 0, cache_index, 0, 0)
             )
             new_kv = (ck, cv)
-        from handsonvlm_tpu.ops.decode_attention import stacked_kernel_ok
+        from handsonvlm_tpu.ops.decode_attention import (
+            MAX_T_WINDOW,
+            stacked_kernel_ok,
+        )
 
+        # t>1 windows (speculative verify, t = k+1) run through the same
+        # kernel with per-row causal limits: the cache is DMA'd once per
+        # WINDOW instead of being dequantized/materialized by XLA per
+        # forward (the spec x kv8 traffic regression, docs/PERF_NOTES.md).
+        # TP keeps the t==1 restriction (head-sharded window kernel TBD).
         use_kernel = (
-            t == 1
+            (t == 1 or (t <= MAX_T_WINDOW and tp_mesh is None))
             and attn_impl in ("auto", "decode")
             and hd % 8 == 0
             and stacked_kernel_ok(ck.shape[2])
         )
-        if use_kernel:
+        if use_kernel and t > 1:
+            from handsonvlm_tpu.ops.decode_attention import (
+                decode_attention_stacked,
+                decode_attention_stacked_q,
+            )
+
+            if quant:
+                out = decode_attention_stacked_q(
+                    q, ck, cv, cks, cvs, layer_idx, cache_index + t,
+                    key_mask=key_mask,
+                )
+            else:
+                out = decode_attention_stacked(
+                    q, ck, cv, layer_idx, cache_index + t, key_mask=key_mask
+                )
+        elif use_kernel:
             if quant and tp_mesh is not None:
                 from handsonvlm_tpu.parallel.tp import (
                     decode_attention_stacked_q_tp,

@@ -27,6 +27,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 DEFAULT_BLOCK_K = 256
+# Largest speculative-verify window served by the stacked kernel (bounds
+# the (H*T, D) accumulator scratch: 32 heads x 8 x 128 x 4 B = 128 KiB).
+MAX_T_WINDOW = 8
 
 
 def _cdiv(a, b):
@@ -110,13 +113,14 @@ def _decode_kernel(
 
 def _decode_stacked_kernel(
     s_ref,  # scalar prefetch (2,) int32: [layer_idx, length]
-    q_ref,  # (1, H, D)
+    q_ref,  # (1, T, H, D); T=1 for plain decode, small T for spec verify
     k_ref,  # (1, 1, block_k, K, D) — block of the FULL (L,B,S,K,D) cache
     v_ref,
     *rest,  # [ks_ref, vs_ref,] mask_ref, out_ref, acc_ref, m_ref, l_ref
     scale: float,
     block_k: int,
     groups: int,
+    t_window: int = 1,
     quant: bool = False,
 ):
     """One online-softmax block step over one layer of the stacked cache.
@@ -124,13 +128,20 @@ def _decode_stacked_kernel(
     With ``quant`` the cache blocks are int8 and two extra (1,1,K,block_k)
     f32 scale refs follow v_ref; dequantization is exact and transpose-free
     (k-scales multiply the score rows — q.k8*ks == (q.k8)*ks — and
-    v-scales fold into the probabilities — (p*vs).v8 == p.(v8*vs))."""
+    v-scales fold into the probabilities — (p*vs).v8 == p.(v8*vs)).
+
+    With ``t_window`` > 1 (speculative verify) the T query rows share one
+    pass over the cache (the cache is DMA'd ONCE per window, not per
+    token); the window's own kv rows are already written at positions
+    length-T..length-1, and row tq attends causally up to
+    length - (T-1-tq). Score rows are laid out (kv_head, group, T)."""
     if quant:
         ks_ref, vs_ref, mask_ref, out_ref, acc_ref, m_ref, l_ref = rest
     else:
         mask_ref, out_ref, acc_ref, m_ref, l_ref = rest
     ki = pl.program_id(1)
     nk = pl.num_programs(1)
+    tw = t_window
 
     @pl.when(ki == 0)
     def _init():
@@ -143,46 +154,66 @@ def _decode_stacked_kernel(
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0].astype(jnp.float32)  # (H, D)
+        q = q_ref[0].astype(jnp.float32)  # (T, H, D)
         k = k_ref[0, 0].astype(jnp.float32)  # (bk, K, D)
         v = v_ref[0, 0].astype(jnp.float32)
-        h, d = q.shape
+        t, h, d = q.shape
         kh = k.shape[1]
-        qg = q.reshape(kh, groups, d)
+        rows = groups * t  # score rows per kv head, laid out (group, tq)
+        # (T,H,D) -> (H,T,D) -> (kh, groups*T, D): within a kv head, row
+        # r = g*T + tq
+        qg = jnp.transpose(q, (1, 0, 2)).reshape(kh, rows, d)
         kg = jnp.transpose(k, (1, 0, 2))  # (K, bk, D)
         s = jax.lax.dot_general(
             qg, kg, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # (K, groups, bk)
+        )  # (K, rows, bk)
         if quant:
             s = s * ks_ref[0, 0][:, None, :]  # dequantize k on score rows
-        s = s.reshape(h, -1) * scale  # (H, bk)
+        s = s * scale
 
-        pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (h, block_k), 1)
-        ok = (pos < length) & (mask_ref[0, 0] > 0)[None, :]
+        pos = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (kh, rows, block_k), 2)
+        ok = pos < length
+        if tw > 1:
+            # per-row causal limit: row (g, tq) sees positions
+            # < length - (T-1-tq); iota over the tq sub-axis avoids an
+            # integer mod (Mosaic has no i32 remainder lowering guarantee)
+            tq = jax.lax.broadcasted_iota(
+                jnp.int32, (kh, groups, tw, block_k), 2).reshape(
+                kh, rows, block_k)
+            ok = pos < (length - (tw - 1) + tq)
+        ok &= (mask_ref[0, 0] > 0)[None, None, :]
         s = jnp.where(ok, s, NEG_INF)
 
+        s2 = s.reshape(kh * rows, block_k)
         m_prev = m_ref[:]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
+        m_new = jnp.maximum(m_prev, jnp.max(s2, axis=1, keepdims=True))
+        p = jnp.exp(s2 - m_new)
         corr = jnp.exp(m_prev - m_new)
         l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=1, keepdims=True)
         vg = jnp.transpose(v, (1, 0, 2))
-        pg = p.reshape(kh, groups, -1)
+        pg = p.reshape(kh, rows, block_k)
         if quant:
             pg = pg * vs_ref[0, 0][:, None, :]  # fold v scales in
         o = jax.lax.dot_general(
             pg, vg, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )
-        acc_ref[:] = acc_ref[:] * corr + o.reshape(h, d)
+        )  # (K, rows, D)
+        acc_ref[:] = acc_ref[:] * corr + o.reshape(kh * rows, d)
         m_ref[:] = m_new
 
     @pl.when(ki == nk - 1)
     def _finalize():
         l = l_ref[:]
         l_safe = jnp.where(l == 0.0, 1.0, l)
-        out_ref[0] = (acc_ref[:] / l_safe).astype(out_ref.dtype)
+        acc = acc_ref[:] / l_safe  # (kh*groups*T, D)
+        kh = out_ref.shape[2] // groups
+        d = out_ref.shape[3]
+        # rows (kh, groups, T, D) -> out (T, H=kh*groups, D)
+        o = acc.reshape(kh, groups, tw, d)
+        o = jnp.transpose(o, (2, 0, 1, 3)).reshape(tw, kh * groups, d)
+        out_ref[0] = o.astype(out_ref.dtype)
 
 
 def stacked_kernel_ok(s: int) -> bool:
@@ -212,12 +243,14 @@ def _stacked_call(q, ck, cv, layer_idx, length, key_mask, block_k,
                   scales=None):
     """Shared pallas_call builder for the bf16 and int8 stacked-cache
     decode kernels (the only differences are the two scale operands and
-    the quant flag)."""
-    squeeze = q.ndim == 4
-    if squeeze:
-        assert q.shape[1] == 1
-        q = q[:, 0]
-    b, h, d = q.shape
+    the quant flag). q may be (B,H,D), (B,1,H,D), or a small window
+    (B,T,H,D) for speculative verify — T rows share ONE pass over the
+    cache blocks."""
+    squeeze = None
+    if q.ndim == 3:
+        squeeze = "3d"
+        q = q[:, None]
+    b, tw, h, d = q.shape
     sx = ck.shape[2]
     kh = ck.shape[3]
     groups = h // kh
@@ -249,7 +282,7 @@ def _stacked_call(q, ck, cv, layer_idx, length, key_mask, block_k,
         lambda b_, ki, sref: (sref[0], b_, 0, _kblock(ki, sref)),
     )
     in_specs = [
-        pl.BlockSpec((1, h, d), lambda b_, ki, sref: (b_, 0, 0)),
+        pl.BlockSpec((1, tw, h, d), lambda b_, ki, sref: (b_, 0, 0, 0)),
         cache_spec,
         cache_spec,
     ]
@@ -264,7 +297,7 @@ def _stacked_call(q, ck, cv, layer_idx, length, key_mask, block_k,
 
     kernel = functools.partial(
         _decode_stacked_kernel, scale=scale, block_k=block_k, groups=groups,
-        quant=scales is not None,
+        t_window=tw, quant=scales is not None,
     )
     out = pl.pallas_call(
         kernel,
@@ -273,26 +306,28 @@ def _stacked_call(q, ck, cv, layer_idx, length, key_mask, block_k,
             grid=(b, nk),
             in_specs=in_specs,
             out_specs=[
-                pl.BlockSpec((1, h, d), lambda b_, ki, sref: (b_, 0, 0)),
+                pl.BlockSpec((1, tw, h, d), lambda b_, ki, sref: (b_, 0, 0, 0)),
             ],
             scratch_shapes=[
-                pltpu.VMEM((h, d), jnp.float32),
-                pltpu.VMEM((h, 1), jnp.float32),
-                pltpu.VMEM((h, 1), jnp.float32),
+                pltpu.VMEM((h * tw, d), jnp.float32),
+                pltpu.VMEM((h * tw, 1), jnp.float32),
+                pltpu.VMEM((h * tw, 1), jnp.float32),
             ],
         ),
-        out_shape=[jax.ShapeDtypeStruct((b, h, d), q.dtype)],
+        out_shape=[jax.ShapeDtypeStruct((b, tw, h, d), q.dtype)],
         interpret=_interpret(),
     )(scalars, *operands)[0]
-    return out[:, None] if squeeze else out
+    return out[:, 0] if squeeze else out
 
 
 def decode_attention_stacked(
-    q: jnp.ndarray,  # (B, 1, H, D) or (B, H, D)
+    q: jnp.ndarray,  # (B, T, H, D) (T<=MAX_T_WINDOW) or (B, H, D)
     ck: jnp.ndarray,  # (L, B, S, K, D) FULL stacked cache (scan carry)
     cv: jnp.ndarray,
     layer_idx,  # scalar int: which layer's cache to attend over
-    length,  # scalar int: valid cache positions (cache_index + 1)
+    length,  # scalar int: valid cache positions INCLUDING the T window
+    #          rows already written at length-T..length-1 (cache_index + T);
+    #          window row tq attends causally up to length - (T-1-tq)
     *,
     key_mask: Optional[jnp.ndarray] = None,  # (B, S) bool
     block_k: int = DEFAULT_BLOCK_K,

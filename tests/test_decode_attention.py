@@ -1,5 +1,6 @@
 """Pallas decode attention vs the XLA reference."""
 
+import jax
 import numpy as np
 import pytest
 import jax.numpy as jnp
@@ -98,3 +99,73 @@ def test_stacked_matches_decode_kernel():
         ref = decode_attention(q, ck[layer], cv[layer], length, block_k=16)
         got = decode_attention_stacked(q, ck, cv, layer, length, block_k=16)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_stacked_window_matches_per_position():
+    """t>1 verify window (speculative decode): the windowed kernel equals
+    T independent single-position calls with per-row lengths (the trusted
+    t=1 kernel as oracle) — causal limits, GQA grouping, and masking."""
+    from handsonvlm_tpu.ops.decode_attention import decode_attention_stacked
+
+    L, B, S, K, D, H, T = 2, 2, 64, 2, 16, 4, 5
+    base = 37  # filled cache before the window
+    ks_ = jax.random.split(jax.random.PRNGKey(11), 3)
+    ck = jax.random.normal(ks_[0], (L, B, S, K, D), jnp.float32)
+    cv = jax.random.normal(ks_[1], (L, B, S, K, D), jnp.float32)
+    q = jax.random.normal(ks_[2], (B, T, H, D), jnp.float32)
+    length = base + T
+
+    got = decode_attention_stacked(
+        q, ck, cv, jnp.asarray(1), jnp.asarray(length))
+    assert got.shape == (B, T, H, D)
+    for tq in range(T):
+        ref = decode_attention_stacked(
+            q[:, tq], ck, cv, jnp.asarray(1), jnp.asarray(base + tq + 1))
+        np.testing.assert_allclose(
+            np.asarray(got[:, tq]), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_stacked_window_quant_matches_per_position():
+    from handsonvlm_tpu.models.llama import KVCache, quantize_kv_cache
+    from handsonvlm_tpu.ops.decode_attention import decode_attention_stacked_q
+
+    L, B, S, K, D, H, T = 2, 1, 64, 2, 16, 4, 4
+    base = 50
+    ks_ = jax.random.split(jax.random.PRNGKey(12), 3)
+    ck = jax.random.normal(ks_[0], (L, B, S, K, D), jnp.float32)
+    cv = jax.random.normal(ks_[1], (L, B, S, K, D), jnp.float32)
+    q = jax.random.normal(ks_[2], (B, T, H, D), jnp.float32)
+    qc = quantize_kv_cache(KVCache(k=ck, v=cv, index=jnp.asarray(base)))
+
+    got = decode_attention_stacked_q(
+        q, qc.k, qc.v, qc.ks, qc.vs, jnp.asarray(0), jnp.asarray(base + T))
+    for tq in range(T):
+        ref = decode_attention_stacked_q(
+            q[:, tq], qc.k, qc.v, qc.ks, qc.vs, jnp.asarray(0),
+            jnp.asarray(base + tq + 1))
+        np.testing.assert_allclose(
+            np.asarray(got[:, tq]), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_stacked_window_key_mask():
+    """key_mask composes with the window's causal limits."""
+    from handsonvlm_tpu.ops.decode_attention import decode_attention_stacked
+
+    L, B, S, K, D, H, T = 1, 1, 32, 2, 8, 4, 3
+    base = 20
+    ks_ = jax.random.split(jax.random.PRNGKey(13), 3)
+    ck = jax.random.normal(ks_[0], (L, B, S, K, D), jnp.float32)
+    cv = jax.random.normal(ks_[1], (L, B, S, K, D), jnp.float32)
+    q = jax.random.normal(ks_[2], (B, T, H, D), jnp.float32)
+    mask = np.ones((B, S), bool)
+    mask[:, 5:9] = False  # left-pad style hole
+    mask_j = jnp.asarray(mask)
+
+    got = decode_attention_stacked(
+        q, ck, cv, jnp.asarray(0), jnp.asarray(base + T), key_mask=mask_j)
+    for tq in range(T):
+        ref = decode_attention_stacked(
+            q[:, tq], ck, cv, jnp.asarray(0), jnp.asarray(base + tq + 1),
+            key_mask=mask_j)
+        np.testing.assert_allclose(
+            np.asarray(got[:, tq]), np.asarray(ref), atol=1e-5, rtol=1e-5)
