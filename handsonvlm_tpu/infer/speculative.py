@@ -242,6 +242,11 @@ def spec_chunk(
             pred_hands=pred_hands, num_hands=num_hands, finished=finished,
             iters=state["iters"] + jnp.where(fin, 0, 1),
             drafts_found=state["drafts_found"] + jnp.where(fin | ~found, 0, 1),
+            # acceptance-length histogram: bucket i counts forwards that
+            # emitted i tokens (telemetry for acceptance-vs-temperature
+            # analysis, tools/perf_spec_acceptance.py)
+            accept_hist=state["accept_hist"].at[jnp.clip(n_eff, 0, k + 1)].add(
+                jnp.where(fin, 0, 1)),
         )
         return cache, new_state, rng
 
@@ -334,6 +339,7 @@ def generate_spec(
         "finished": jnp.asarray(False),
         "iters": jnp.asarray(0, jnp.int32),
         "drafts_found": jnp.asarray(0, jnp.int32),
+        "accept_hist": jnp.zeros((k + 2,), jnp.int32),
     }
     is_hand0 = tok0 == cfg.hand_token_id
     state["pred_hands"] = jnp.where(
@@ -377,7 +383,8 @@ def generate_spec(
     # one bulk fetch for everything the host needs (vs 6 tunnel round trips)
     fetched = jax.device_get(
         {k_: state[k_] for k_ in
-         ("n_tokens", "tokens", "pred_hands", "num_hands", "iters", "drafts_found")}
+         ("n_tokens", "tokens", "pred_hands", "num_hands", "iters",
+          "drafts_found", "accept_hist")}
     )
     n = min(int(fetched["n_tokens"]), max_new_tokens)
     tokens = np.asarray(fetched["tokens"])[:max_new_tokens]
@@ -402,6 +409,8 @@ def generate_spec(
         "iters": int(fetched["iters"]),
         "drafts_found": int(fetched["drafts_found"]),
         "tokens": n,
+        # accept_hist[i] = forwards that emitted i tokens (i=0 unused)
+        "accept_hist": [int(x) for x in np.asarray(fetched["accept_hist"])],
     }
     return out, stats
 

@@ -1,0 +1,206 @@
+"""Speculative-decode acceptance under SAMPLING (the eval-protocol temp).
+
+Round-2 finding: with RANDOM weights, spec at temperature 0.5 loses to
+sequential (94.4 vs 110.5 tok/s) because random logits reject every
+draft. This probe quantifies the other side: acceptance tracks how well
+the model's distribution matches the template bank — the real 7B was
+SFT-trained to emit exactly these template sentences
+(handsonvlm/dataset/epic_dataset.py answer pools), so its acceptance at
+temp 0.5 is the trained-model regime, not the random regime.
+
+Modes:
+  --train-tiny   controlled CPU experiment: memorize ONE EK template
+                 (text_loss -> ~0.01, the in-distribution limit), then
+                 sweep temperatures. Measured 2026-08-18: 1.78 tok/fwd at
+                 temp 0.5 == greedy (random weights: 1.04-1.11).
+  default        load weights (--model-path/--preset/--quant) and sweep
+                 temperatures over EK-protocol prompts on the real chip;
+                 reports tok/fwd, acceptance histogram, bank bigram
+                 coverage of the emitted text.
+
+Usage:
+  PYTHONPATH=/root/repo:/root/.axon_site python tools/perf_spec_acceptance.py \
+      --train-tiny
+  PYTHONPATH=... python tools/perf_spec_acceptance.py --preset 7b --quant int4
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import json
+import time
+
+import numpy as np
+
+
+def bank_bigram_coverage(bank_ids, emitted_ids) -> float:
+    """Fraction of emitted-token bigrams present in the bank buffer —
+    an upper bound on what the n-gram draft could have proposed."""
+    bank = np.asarray(bank_ids)
+    bigrams = {(int(bank[i]), int(bank[i + 1])) for i in range(len(bank) - 1)}
+    e = [int(t) for t in emitted_ids]
+    if len(e) < 2:
+        return 0.0
+    hits = sum((e[i], e[i + 1]) in bigrams for i in range(len(e) - 1))
+    return hits / (len(e) - 1)
+
+
+def sweep(params, cfg, tok, ids, images, bank, temps, seeds, k, max_new):
+    import jax
+    import jax.numpy as jnp
+
+    from handsonvlm_tpu.infer.speculative import generate_spec
+
+    rows = []
+    for temp in temps:
+        tot_tok = tot_fwd = 0
+        hist = None
+        cov = []
+        for seed in seeds:
+            out, stats = generate_spec(
+                params, cfg, ids, jnp.asarray(images), jax.random.PRNGKey(seed),
+                max_new_tokens=max_new, k=k, temperature=temp, top_p=0.9,
+                bank_ids=bank, attn_impl="auto",
+            )
+            tot_tok += stats["tokens"]
+            tot_fwd += stats["iters"]
+            h = np.asarray(stats["accept_hist"])
+            hist = h if hist is None else hist + h
+            n = int(out.num_tokens[0])
+            cov.append(bank_bigram_coverage(bank, out.sequences[0, :n]))
+        rows.append({
+            "temperature": temp,
+            "tok_per_fwd": round(tot_tok / max(tot_fwd, 1), 3),
+            "tokens": tot_tok,
+            "forwards": tot_fwd,
+            "accept_hist": [int(x) for x in hist],
+            "bank_bigram_coverage": round(float(np.mean(cov)), 3),
+        })
+        print(json.dumps(rows[-1]), flush=True)
+    return rows
+
+
+def run_train_tiny(args):
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import optax
+
+    from handsonvlm_tpu.constants import (
+        ACTION_QUESTION_TEMPLATES,
+        DEFAULT_IMAGE_TOKEN,
+        GENERAL_TRAJECTORY_ANSWER_TEMPLATES,
+        HAND_TOKEN_TEMPLATE,
+    )
+    from handsonvlm_tpu.core.config import tiny_config
+    from handsonvlm_tpu.data.hybrid_dataset import Collator
+    from handsonvlm_tpu.data.mock_tokenizer import MockTokenizer
+    from handsonvlm_tpu.data.tokenization import (
+        preprocess_multimodal,
+        preprocess_v1,
+    )
+    from handsonvlm_tpu.infer.speculative import build_template_bank
+    from handsonvlm_tpu.models.handsonvlm import init_handsonvlm
+    from handsonvlm_tpu.train.step import make_train_step
+    from handsonvlm_tpu.train.train_state import TrainState
+
+    cfg = tiny_config()
+    tok = MockTokenizer()
+    narr = "open the fridge"
+    question = ACTION_QUESTION_TEMPLATES[0].format(narr)
+    answer = GENERAL_TRAJECTORY_ANSWER_TEMPLATES[0].format(HAND_TOKEN_TEMPLATE * 4)
+    source = [
+        {"from": "human", "value": DEFAULT_IMAGE_TOKEN + "\n" + question},
+        {"from": "gpt", "value": answer},
+    ]
+    tokd = preprocess_v1(
+        preprocess_multimodal(copy.deepcopy([source])), tok, has_image=True)
+    rng = np.random.default_rng(0)
+    size = cfg.vision.image_size
+    img = rng.normal(size=(cfg.num_frames, 3, size, size)).astype(np.float32)
+    inst = {
+        "input_ids": tokd["input_ids"][0], "labels": tokd["labels"][0],
+        "image": img,
+        "future_hands": rng.uniform(size=(2, 5, 2)).astype(np.float32),
+        "contact_point": rng.uniform(size=(2,)).astype(np.float32),
+        "future_valid": np.ones((2,), np.float32),
+    }
+    coll = Collator(pad_token_id=tok.pad_token_id,
+                    model_max_length=cfg.max_length, num_frames=cfg.num_frames)
+    batch = coll([copy.deepcopy(inst) for _ in range(4)])
+    batch = {k_: jnp.asarray(v) for k_, v in batch.items() if k_ != "prompt"}
+
+    params = init_handsonvlm(jax.random.PRNGKey(0), cfg)
+    tx = optax.adamw(5e-3)
+    state = TrainState(step=jnp.asarray(0), params=params, opt_state=tx.init(params))
+    step = make_train_step(cfg, tx, attn_impl="xla")
+    t0 = time.time()
+    for i in range(args.steps):
+        state, m = step(state, batch, jax.random.PRNGKey(i))
+    print(f"text_loss {float(m['text_loss']):.4f} after {args.steps} steps "
+          f"({time.time() - t0:.0f}s)", flush=True)
+
+    lab = np.asarray(inst["labels"])
+    cut = int(np.argmax(lab != -100))
+    ids = np.asarray(inst["input_ids"])[None][:, :cut]
+    bank = build_template_bank(tok, cfg, (narr,))
+    sweep(state.params, cfg, tok, ids, img[None], bank,
+          temps=[0.5, 0.0], seeds=range(5), k=args.k, max_new=24)
+
+
+def run_real(args):
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/handsonvlm_jax")
+    from handsonvlm_tpu.data.conversation import conv_templates
+    from handsonvlm_tpu.data.tokenization import tokenizer_image_token
+    from handsonvlm_tpu.infer.builder import load_pretrained_model
+    from handsonvlm_tpu.infer.speculative import build_template_bank
+
+    params, cfg, tok = load_pretrained_model(
+        args.model_path or f"random:{args.preset}", args.preset,
+        quantize=args.quant)
+    conv = conv_templates["v1"].copy()
+    conv.append_message(
+        conv.roles[0],
+        "<image>\nWhere should my hand move to if I want to open the fridge?")
+    conv.append_message(conv.roles[1], None)
+    ids = np.asarray(tokenizer_image_token(conv.get_prompt(), tok))[None]
+    rng = np.random.default_rng(0)
+    n_unique = min(10, cfg.num_frames)
+    images = rng.normal(size=(
+        1, n_unique, 3, cfg.vision.image_size, cfg.vision.image_size))
+    # tiled frame_map protocol is used by bench; here unique frames only is
+    # fine — acceptance depends on logits, not on vision input fidelity
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, num_frames=n_unique)
+    bank = build_template_bank(tok, cfg, ("open the fridge",))
+    sweep(params, cfg, tok, ids, images, bank,
+          temps=[0.0, 0.25, 0.5, 0.75], seeds=range(3), k=args.k,
+          max_new=args.max_new)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--train-tiny", action="store_true")
+    p.add_argument("--steps", type=int, default=150)
+    p.add_argument("--k", type=int, default=4)
+    p.add_argument("--max-new", type=int, default=64)
+    p.add_argument("--model-path", default=None)
+    p.add_argument("--preset", default="7b")
+    p.add_argument("--quant", default="int4")
+    args = p.parse_args()
+    if args.train_tiny:
+        run_train_tiny(args)
+    else:
+        run_real(args)
+
+
+if __name__ == "__main__":
+    main()
