@@ -294,7 +294,7 @@ def forward(
     future_valid: Optional[jnp.ndarray] = None,  # (B, 2)
     rng: Optional[jax.Array] = None,
     attn_impl: str = "auto",
-    remat: bool = False,
+    remat=False,  # False | True/'full' | 'dots' | 'dots_nobatch'
     seq_mesh=None,
 ) -> Dict[str, jnp.ndarray]:
     """Training forward: returns loss dict + logits.

@@ -149,6 +149,28 @@ def init_llama(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 
 
+REMAT_POLICIES = ("full", "dots", "dots_nobatch")
+
+
+def _remat(fn, remat):
+    """jax.checkpoint with a selectable save policy.
+
+    remat: True/'full' = save nothing (recompute everything in backward —
+    minimum memory, the reference recipe's gradient_checkpointing);
+    'dots' = dots_saveable (keep matmul outputs, recompute elementwise —
+    trades HBM for fewer recomputed MXU flops); 'dots_nobatch' =
+    dots_with_no_batch_dims_saveable. Probed for the training-MFU sweep
+    (tools/perf_train_step.py HANDSONVLM_REMAT)."""
+    if remat is True or remat == "full":
+        return jax.checkpoint(fn)
+    if remat == "dots":
+        return jax.checkpoint(fn, policy=jax.checkpoint_policies.dots_saveable)
+    if remat == "dots_nobatch":
+        return jax.checkpoint(
+            fn, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    raise ValueError(f"unknown remat policy {remat!r} (use {REMAT_POLICIES})")
+
+
 def rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
     dtype = x.dtype
     x = x.astype(jnp.float32)
@@ -430,7 +452,7 @@ def apply_llama(
     positions: Optional[jnp.ndarray] = None,
     kv_cache: Optional[KVCache] = None,
     attn_impl: str = "auto",
-    remat: bool = False,
+    remat=False,  # False | True/'full' | 'dots' | 'dots_nobatch' (_remat)
     lora: Optional[dict] = None,
     cache_scan_mode: str = "auto",
     tp_mesh=None,
@@ -501,7 +523,7 @@ def apply_llama(
             return (hidden, ck, cv, cks, cvs), None
 
         if remat:
-            scan_body = jax.checkpoint(scan_body)
+            scan_body = _remat(scan_body, remat)
         (hidden, ck, cv, cks, cvs), _ = jax.lax.scan(
             scan_body,
             (inputs_embeds, kv_cache.k, kv_cache.v, kv_cache.ks, kv_cache.vs),
@@ -537,7 +559,7 @@ def apply_llama(
                 return (hidden, ck, cv), None
 
             if remat:
-                scan_body = jax.checkpoint(scan_body)
+                scan_body = _remat(scan_body, remat)
             (hidden, ck, cv), _ = jax.lax.scan(
                 scan_body, (inputs_embeds, kv_cache.k, kv_cache.v),
                 (layer_params, lora_adapters, layer_ids),
@@ -562,7 +584,7 @@ def apply_llama(
                 return hidden, (nk, nv)
 
             if remat:
-                scan_body = jax.checkpoint(scan_body)
+                scan_body = _remat(scan_body, remat)
             hidden, (ck, cv) = jax.lax.scan(
                 scan_body, inputs_embeds,
                 (layer_params, lora_adapters, layer_ids, kv_cache.k, kv_cache.v),
@@ -589,7 +611,7 @@ def apply_llama(
             return (hidden, ck, cv), None
 
         if remat:
-            scan_body = jax.checkpoint(scan_body)
+            scan_body = _remat(scan_body, remat)
         (hidden, ck, cv), _ = jax.lax.scan(
             scan_body, (inputs_embeds, kv_cache.k, kv_cache.v),
             (layer_params, lora_adapters, layer_ids),
@@ -607,7 +629,7 @@ def apply_llama(
         return hidden, None
 
     if remat:
-        scan_body = jax.checkpoint(scan_body)
+        scan_body = _remat(scan_body, remat)
     hidden, _ = jax.lax.scan(
         scan_body, inputs_embeds, (layer_params, lora_adapters, layer_ids)
     )

@@ -25,7 +25,7 @@ from handsonvlm_tpu.train.train_state import TrainState
 
 
 def loss_fn(params, cfg: HandsOnVLMConfig, batch: Dict[str, jnp.ndarray], rng, attn_impl: str,
-            seq_mesh=None):
+            seq_mesh=None, remat=True):
     out = forward(
         params,
         cfg,
@@ -37,7 +37,7 @@ def loss_fn(params, cfg: HandsOnVLMConfig, batch: Dict[str, jnp.ndarray], rng, a
         future_valid=batch["future_valid"],
         rng=rng,
         attn_impl=attn_impl,
-        remat=True,
+        remat=remat,
         seq_mesh=seq_mesh,
     )
     metrics = {
@@ -70,7 +70,7 @@ def _grad_norm(grads):
 
 
 def make_train_step(cfg: HandsOnVLMConfig, tx: optax.GradientTransformation, attn_impl: str = "auto",
-                    seq_mesh=None):
+                    seq_mesh=None, remat=True):
     """Returns jitted (state, batch, rng) -> (state, metrics).
 
     With ``seq_mesh`` (a mesh containing a 'seq' axis) the decoder
@@ -86,7 +86,7 @@ def make_train_step(cfg: HandsOnVLMConfig, tx: optax.GradientTransformation, att
         # optax.set_to_zero + apply_updates pass them through untouched
         (loss, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True, allow_int=True
-        )(state.params, cfg, batch, step_rng, attn_impl, seq_mesh)
+        )(state.params, cfg, batch, step_rng, attn_impl, seq_mesh, remat)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = _apply_updates(state.params, updates)
         metrics["grad_norm"] = _grad_norm(grads)

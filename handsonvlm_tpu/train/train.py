@@ -50,6 +50,12 @@ def main():
     p.add_argument("--lora-r", type=int, default=0,
                    help="enable LoRA with this rank (reference: 128)")
     p.add_argument("--lora-alpha", type=float, default=256.0)
+    p.add_argument("--remat-policy", default="full",
+                   choices=["full", "dots", "dots_nobatch"],
+                   help="gradient-checkpoint save policy over the decoder "
+                        "scan: full = recompute everything (min memory, "
+                        "reference recipe); dots = keep matmul outputs "
+                        "(fewer recomputed MXU flops, more HBM)")
     p.add_argument("--mu-bf16", action="store_true",
                    help="bf16 Adam first moment (halves moment memory; "
                         "enables 13B QLoRA r=128 on one 16 GB chip)")
@@ -298,7 +304,7 @@ def main():
         )
         return {f"eval/{k}": res[k] for k in ("ade", "fde", "wde", "n")}
 
-    step_fn = make_train_step(cfg, tx, seq_mesh=seq_mesh)
+    step_fn = make_train_step(cfg, tx, seq_mesh=seq_mesh, remat=args.remat_policy)
     rng = jax.random.PRNGKey(0)
     save_every = args.save_every or steps_per_epoch
     from handsonvlm_tpu.utils.metrics_writer import MetricsWriter

@@ -139,3 +139,36 @@ def test_qlora_int4_step():
         np.testing.assert_array_equal(a, np.asarray(b))
     assert np.abs(np.asarray(state.params["lora"]["adapters"]["wq"]["b"])
                   - lora_b_before).max() > 0
+
+
+def test_remat_policies_match():
+    """--remat-policy choices are numerically identical to no-remat (remat
+    only changes WHAT is saved for backward, never the math)."""
+    import optax
+
+    from handsonvlm_tpu.train.train_state import TrainState
+
+    tx = optax.sgd(1e-3)
+    batch = _batch(seed=5)
+
+    results = {}
+    for remat in (False, "full", "dots", "dots_nobatch"):
+        params = init_handsonvlm(jax.random.PRNGKey(0), CFG)
+        state = TrainState(step=jnp.asarray(0), params=params,
+                           opt_state=tx.init(params))
+        step = make_train_step(CFG, tx, attn_impl="xla", remat=remat)
+        _, m = step(state, batch, jax.random.PRNGKey(1))
+        results[remat] = (float(m["loss"]), float(m["grad_norm"]))
+    base = results[False]
+    for k, v in results.items():
+        np.testing.assert_allclose(v[0], base[0], rtol=1e-5, err_msg=str(k))
+        np.testing.assert_allclose(v[1], base[1], rtol=1e-4, err_msg=str(k))
+
+
+def test_remat_bad_policy_raises():
+    import pytest as _pytest
+
+    from handsonvlm_tpu.models.llama import _remat
+
+    with _pytest.raises(ValueError):
+        _remat(lambda x: x, "nope")

@@ -95,7 +95,7 @@ def main():
         mu_dtype=jnp.bfloat16 if mu_bf16 else None,
     )
     state = create_train_state(params, tx)
-    step = make_train_step(cfg, tx)
+    step = make_train_step(cfg, tx, remat=os.environ.get("HANDSONVLM_REMAT", "full"))
 
     t_spliced = t + cfg.num_visual_tokens - 1
     for b in bs:
