@@ -309,25 +309,45 @@ def _layer(
         # kernel with per-row causal limits: the cache is DMA'd once per
         # WINDOW instead of being dequantized/materialized by XLA per
         # forward (the spec x kv8 traffic regression, docs/PERF_NOTES.md).
-        # TP keeps the t==1 restriction (head-sharded window kernel TBD).
         use_kernel = (
-            (t == 1 or (t <= MAX_T_WINDOW and tp_mesh is None))
+            t <= MAX_T_WINDOW
             and attn_impl in ("auto", "decode")
             and hd % 8 == 0
             and stacked_kernel_ok(ck.shape[2])
         )
         if use_kernel and t > 1:
-            from handsonvlm_tpu.ops.decode_attention import (
-                decode_attention_stacked,
-                decode_attention_stacked_q,
-            )
+            if quant and tp_mesh is not None:
+                from handsonvlm_tpu.parallel.tp import (
+                    decode_attention_stacked_q_tp,
+                )
 
-            if quant:
+                out = decode_attention_stacked_q_tp(
+                    q, ck, cv, cks, cvs, layer_idx, cache_index + t,
+                    key_mask=key_mask, mesh=tp_mesh,
+                )
+            elif quant:
+                from handsonvlm_tpu.ops.decode_attention import (
+                    decode_attention_stacked_q,
+                )
+
                 out = decode_attention_stacked_q(
                     q, ck, cv, cks, cvs, layer_idx, cache_index + t,
                     key_mask=key_mask,
                 )
+            elif tp_mesh is not None:
+                from handsonvlm_tpu.parallel.tp import (
+                    decode_attention_stacked_tp,
+                )
+
+                out = decode_attention_stacked_tp(
+                    q, ck, cv, layer_idx, cache_index + t, key_mask=key_mask,
+                    mesh=tp_mesh,
+                )
             else:
+                from handsonvlm_tpu.ops.decode_attention import (
+                    decode_attention_stacked,
+                )
+
                 out = decode_attention_stacked(
                     q, ck, cv, layer_idx, cache_index + t, key_mask=key_mask
                 )

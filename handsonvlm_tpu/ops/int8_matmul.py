@@ -533,6 +533,9 @@ PREFILL4_BLOCK_N = int(_os.environ.get("HANDSONVLM_INT4_PREFILL_BN", "512"))
 # debugging compiler limits at other model scales (13B backward probe)
 INT4_T_BD = int(_os.environ.get("HANDSONVLM_INT4_T_BD", "512"))
 INT4_T_BN = int(_os.environ.get("HANDSONVLM_INT4_T_BN", "512"))
+# 0 = auto (full d when <=4096); the block_k sweep knob for the prefill MFU
+# push (tools/perf_int4_prefill_tune.py --sweep-k)
+PREFILL4_BLOCK_K = int(_os.environ.get("HANDSONVLM_INT4_PREFILL_BK", "0"))
 
 
 def _prefill4_blocks(m: int, d: int, n: int, group: int):
@@ -543,7 +546,11 @@ def _prefill4_blocks(m: int, d: int, n: int, group: int):
     block_m = min(PREFILL4_BLOCK_M, -(-(-(-max(m, 8) // nb_m)) // 8) * 8)
     bn = PREFILL4_BLOCK_N
     block_n = bn if n % bn == 0 else _pick_block_n(n, d // 2)
-    block_k = d if d <= 4096 else math.gcd(d, 2048)
+    # contraction tile: default full-d when it fits (<=4096); the sweep
+    # knob (HANDSONVLM_INT4_PREFILL_BK / PREFILL4_BLOCK_K) caps it so the
+    # MFU tuning can trade VMEM working set vs accumulation passes
+    want_k = PREFILL4_BLOCK_K or (d if d <= 4096 else math.gcd(d, 2048))
+    block_k = min(want_k, d)
     while block_k > group and (d % block_k or block_k % group):
         block_k //= 2
     return block_m, block_n, max(block_k, group)

@@ -49,7 +49,7 @@ def tp_size(mesh: Optional[Mesh], axis: str = "model") -> int:
 
 
 def decode_attention_stacked_tp(
-    q: jnp.ndarray,  # (B, 1, H, D) or (B, H, D)
+    q: jnp.ndarray,  # (B, T<=8, H, D) or (B, H, D)
     ck: jnp.ndarray,  # (L, B, S, K, D) full stacked cache
     cv: jnp.ndarray,
     layer_idx,
@@ -73,9 +73,11 @@ def decode_attention_stacked_tp(
             q, ck, cv, layer_idx, length, key_mask=key_mask
         )
 
-    squeeze = q.ndim == 4
-    if squeeze:
-        q = q[:, 0]
+    # normalize to a (B, T, H, D) window (T=1 for plain decode; small T
+    # for speculative verify) and shard the head dim
+    expand = q.ndim == 3
+    if expand:
+        q = q[:, None]
     b, s = ck.shape[1], ck.shape[2]
     if key_mask is None:
         key_mask = jnp.ones((b, s), bool)
@@ -87,14 +89,14 @@ def decode_attention_stacked_tp(
         local,
         mesh=mesh,
         in_specs=(
-            P(None, axis, None),  # q (B, H, D): heads
+            P(None, None, axis, None),  # q (B, T, H, D): heads
             P(None, None, None, axis, None),  # cache: kv heads
             P(None, None, None, axis, None),
             P(),  # layer_idx scalar
             P(),  # length scalar
             P(None, None),  # key mask replicated
         ),
-        out_specs=P(None, axis, None),
+        out_specs=P(None, None, axis, None),
         check_vma=False,  # pallas_call outputs carry no vma type info
     )(
         q, ck, cv,
@@ -102,11 +104,11 @@ def decode_attention_stacked_tp(
         jnp.asarray(length, jnp.int32),
         key_mask,
     )
-    return out[:, None] if squeeze else out
+    return out[:, 0] if expand else out
 
 
 def decode_attention_stacked_q_tp(
-    q: jnp.ndarray,  # (B, 1, H, D) or (B, H, D)
+    q: jnp.ndarray,  # (B, T<=8, H, D) or (B, H, D)
     ck: jnp.ndarray,  # (L, B, S, K, D) int8 stacked cache
     cv: jnp.ndarray,
     ks: jnp.ndarray,  # (L, B, K, S) f32 scales
@@ -131,9 +133,9 @@ def decode_attention_stacked_q_tp(
             q, ck, cv, ks, vs, layer_idx, length, key_mask=key_mask
         )
 
-    squeeze = q.ndim == 4
-    if squeeze:
-        q = q[:, 0]
+    expand = q.ndim == 3
+    if expand:
+        q = q[:, None]
     b, s = ck.shape[1], ck.shape[2]
     if key_mask is None:
         key_mask = jnp.ones((b, s), bool)
@@ -146,7 +148,7 @@ def decode_attention_stacked_q_tp(
         local,
         mesh=mesh,
         in_specs=(
-            P(None, axis, None),  # q (B, H, D): heads
+            P(None, None, axis, None),  # q (B, T, H, D): heads
             P(None, None, None, axis, None),  # cache: kv heads
             P(None, None, None, axis, None),
             P(None, None, axis, None),  # scales (L, B, K, S): kv heads
@@ -155,7 +157,7 @@ def decode_attention_stacked_q_tp(
             P(),
             P(None, None),
         ),
-        out_specs=P(None, axis, None),
+        out_specs=P(None, None, axis, None),
         check_vma=False,
     )(
         q, ck, cv, ks, vs,
@@ -163,7 +165,7 @@ def decode_attention_stacked_q_tp(
         jnp.asarray(length, jnp.int32),
         key_mask,
     )
-    return out[:, None] if squeeze else out
+    return out[:, 0] if expand else out
 
 
 def int4_matmul_stacked_tp(

@@ -179,3 +179,34 @@ def test_int4_tp_generate_chunked_runs():
     seq = np.asarray(out.sequences[0, :n])
     assert ((seq >= 0) & (seq < cfg.llama.vocab_size)).all()
     assert np.isfinite(np.asarray(out.pred_hands)).all()
+
+
+def test_decode_attention_tp_window_matches_unsharded():
+    """t>1 verify windows through the head-sharded TP wrappers (bf16 and
+    int8): match the unsharded windowed kernel on the simulated mesh."""
+    from handsonvlm_tpu.models.llama import KVCache, quantize_kv_cache
+    from handsonvlm_tpu.ops.decode_attention import decode_attention_stacked_q
+    from handsonvlm_tpu.parallel.tp import decode_attention_stacked_q_tp
+
+    rng = np.random.default_rng(7)
+    L, B, S, H, D, T = 2, 1, 64, 4, 16, 5
+    base = 30
+    q = jnp.asarray(rng.normal(size=(B, T, H, D)), jnp.float32)
+    ck = jnp.asarray(rng.normal(size=(L, B, S, H, D)), jnp.float32)
+    cv = jnp.asarray(rng.normal(size=(L, B, S, H, D)), jnp.float32)
+    mesh = create_mesh(data=4, model=2)
+    length = jnp.int32(base + T)
+
+    ref = decode_attention_stacked(q, ck, cv, jnp.int32(1), length)
+    tp_out = decode_attention_stacked_tp(
+        q, ck, cv, jnp.int32(1), length, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(tp_out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+
+    qc = quantize_kv_cache(KVCache(k=ck, v=cv, index=jnp.asarray(base)))
+    ref_q = decode_attention_stacked_q(
+        q, qc.k, qc.v, qc.ks, qc.vs, jnp.int32(0), length)
+    tp_q = decode_attention_stacked_q_tp(
+        q, qc.k, qc.v, qc.ks, qc.vs, jnp.int32(0), length, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(tp_q), np.asarray(ref_q),
+                               rtol=2e-5, atol=2e-6)

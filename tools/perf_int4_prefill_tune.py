@@ -23,19 +23,31 @@ def make_fn(cfg):
     return run
 
 def main():
+    import os
     cfg = get_config("7b").llama
     params = init_llama_int4(jax.random.PRNGKey(0), cfg)
     jax.block_until_ready(params)
-    for bm, bn in ((256, 512), (512, 256), (128, 512), (256, 256)):
+    # grid: (bm, bn) as before, plus the block_k axis (0 = full-d
+    # contraction, the round-2 default) for the MFU push — smaller bk
+    # shrinks the VMEM working set (more latitude for bigger bm x bn)
+    # at the cost of an f32 accumulator pass per k-step
+    grid = [(256, 512, 0), (256, 512, 2048), (256, 512, 1024),
+            (512, 512, 2048), (512, 512, 1024), (512, 1024, 1024),
+            (512, 256, 0), (128, 512, 0), (256, 256, 0)]
+    if os.environ.get("HANDSONVLM_TUNE_GRID"):
+        grid = [tuple(int(x) for x in g.split("x"))
+                for g in os.environ["HANDSONVLM_TUNE_GRID"].split(",")]
+    for bm, bn, bk in grid:
         int8_matmul.PREFILL4_BLOCK_M = bm
         int8_matmul.PREFILL4_BLOCK_N = bn
+        int8_matmul.PREFILL4_BLOCK_K = bk
         jax.clear_caches()
         fn = make_fn(cfg)
         x = jax.random.normal(jax.random.PRNGKey(1), (1, T, cfg.hidden_size), jnp.bfloat16)
         try:
             np.asarray(jax.device_get(fn(params, x)))
         except Exception as e:
-            print(f"bm={bm} bn={bn}: FAILED {type(e).__name__}: {str(e)[:120]}", flush=True)
+            print(f"bm={bm} bn={bn} bk={bk}: FAILED {type(e).__name__}: {str(e)[:120]}", flush=True)
             continue
         times = []
         for rep in range(4):
@@ -44,7 +56,7 @@ def main():
             t0 = time.time()
             np.asarray(jax.device_get(fn(params, x)))
             times.append((time.time() - t0) * 1e3 / K)
-        print(f"bm={bm} bn={bn}: {np.median(times):7.2f} ms per T={T} prefill", flush=True)
+        print(f"bm={bm} bn={bn} bk={bk}: {np.median(times):7.2f} ms per T={T} prefill", flush=True)
 
 if __name__ == "__main__":
     main()
