@@ -16,6 +16,11 @@ import jax.numpy as jnp
 
 from handsonvlm_tpu.core.config import LlamaConfig
 
+import os as _os
+
+# bf16 adapter compute (master weights stay f32) — see lora_delta
+LORA_COMPUTE_BF16 = _os.environ.get("HANDSONVLM_LORA_BF16", "0") == "1"
+
 DEFAULT_TARGETS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 _SHAPES = {
@@ -62,10 +67,23 @@ def lora_delta(lora_layer: Optional[Dict], name: str, x: jnp.ndarray, scale: flo
 
     The delta is computed in the adapter dtype (f32 during training) and
     cast back to the activation dtype — f32 adapters must not promote the
-    bf16 residual stream (the decoder scan carry is dtype-strict)."""
+    bf16 residual stream (the decoder scan carry is dtype-strict).
+
+    With LORA_COMPUTE_BF16 (env HANDSONVLM_LORA_BF16=1, trainer
+    --lora-bf16) the two adapter matmuls run in bf16 with the f32 MASTER
+    adapters cast per use: at r=128 the adapter path is ~6% of the base
+    projection FLOPs, and f32 MXU throughput is a fraction of bf16's, so
+    f32 adapter dots cost a disproportionate slice of the step (the
+    round-2 MFU plateau suspect list). Master weights, optimizer state,
+    and gradient accumulation stay f32 — only the dot compute dtype
+    changes (standard mixed precision; grads flow through the cast)."""
     if lora_layer is None or name not in lora_layer:
         return 0.0
     ad = lora_layer[name]
+    if LORA_COMPUTE_BF16 and x.dtype == jnp.bfloat16:
+        a = ad["a"].astype(jnp.bfloat16)
+        b = ad["b"].astype(jnp.bfloat16)
+        return (((x @ a) @ b) * scale).astype(x.dtype)
     return (((x @ ad["a"]) @ ad["b"]) * scale).astype(x.dtype)
 
 

@@ -72,3 +72,39 @@ def test_lora_with_kv_cache_decode():
     pre, cache = apply_llama(params, CFG, input_ids=ids[:, :5], kv_cache=cache, attn_impl="xla", lora=lora)
     step, cache = apply_llama(params, CFG, input_ids=ids[:, 5:6], kv_cache=cache, attn_impl="xla", lora=lora)
     np.testing.assert_allclose(np.asarray(step[:, 0]), np.asarray(full[:, 5]), atol=1e-5)
+
+
+def test_lora_bf16_compute_close():
+    """bf16 adapter compute (HANDSONVLM_LORA_BF16) tracks the f32 path
+    within bf16 rounding on a bf16 activation stream; f32 activations are
+    unaffected by the flag."""
+    from handsonvlm_tpu.models import lora as lora_mod
+    from handsonvlm_tpu.models.lora import init_lora, lora_delta
+
+    cfg = CFG
+    lora = init_lora(jax.random.PRNGKey(0), cfg, r=8, alpha=16.0)
+    # make B nonzero so the delta isn't trivially 0
+    lora["adapters"]["wq"]["b"] = (
+        jax.random.normal(jax.random.PRNGKey(1),
+                          lora["adapters"]["wq"]["b"].shape) * 0.05)
+    layer0 = jax.tree_util.tree_map(lambda x: x[0], lora["adapters"])
+    x32 = jax.random.normal(jax.random.PRNGKey(2), (4, cfg.hidden_size))
+    x16 = x32.astype(jnp.bfloat16)
+
+    ref = lora_delta(layer0, "wq", x16, 2.0)
+    old = lora_mod.LORA_COMPUTE_BF16
+    try:
+        lora_mod.LORA_COMPUTE_BF16 = True
+        got16 = lora_delta(layer0, "wq", x16, 2.0)
+        got32 = lora_delta(layer0, "wq", x32, 2.0)
+    finally:
+        lora_mod.LORA_COMPUTE_BF16 = old
+    assert got16.dtype == jnp.bfloat16
+    # same bf16 output grid; bf16 compute only reorders rounding
+    err = float(jnp.max(jnp.abs(got16.astype(jnp.float32) -
+                                ref.astype(jnp.float32))))
+    ref_mag = float(jnp.max(jnp.abs(ref.astype(jnp.float32)))) + 1e-9
+    assert err / ref_mag < 0.05, err / ref_mag
+    # f32 stream ignores the flag (exact)
+    np.testing.assert_array_equal(
+        np.asarray(got32), np.asarray(lora_delta(layer0, "wq", x32, 2.0)))
