@@ -29,7 +29,7 @@ Secondary modes land in the "modes" field of the single JSON line.
 
 Env:
   HANDSONVLM_BENCH_PRESET = 7b (default) | 13b | 1b | graft
-  HANDSONVLM_BENCH_MODES = seq,spec,spec_greedy,kv8,int8,bf16,train
+  HANDSONVLM_BENCH_MODES = seq,spec,spec_greedy,kv8,spec_kv8,int8,bf16,train
                            (default; first is headline)
   HANDSONVLM_BENCH_PROBE_TIMEOUT / _PROBE_WALL = per-probe timeout (300) /
                            total retry budget (2400) before declaring the
@@ -201,7 +201,7 @@ def run_single():
             out, _ = generate_spec(
                 params, cfg, ids_j, images_unique, jax.random.PRNGKey(seed),
                 max_new_tokens=max_new, k=spec_k, temperature=temp, top_p=0.9,
-                frame_map=frame_map, bank_ids=bank,
+                frame_map=frame_map, bank_ids=bank, kv_quant=kv_quant,
             )
             return out
     else:
@@ -294,6 +294,9 @@ MODE_ENV = {
     "seq": {"HANDSONVLM_BENCH_QUANT": "int4", "HANDSONVLM_BENCH_SPEC": "0"},
     "kv8": {"HANDSONVLM_BENCH_QUANT": "int4", "HANDSONVLM_BENCH_SPEC": "0",
             "HANDSONVLM_BENCH_KV": "int8"},
+    # spec x kv8 through the t>1 windowed verify kernel (round 3)
+    "spec_kv8": {"HANDSONVLM_BENCH_QUANT": "int4", "HANDSONVLM_BENCH_SPEC": "4",
+                 "HANDSONVLM_BENCH_TEMP": "0", "HANDSONVLM_BENCH_KV": "int8"},
     "int8": {"HANDSONVLM_BENCH_QUANT": "int8", "HANDSONVLM_BENCH_SPEC": "0"},
     "bf16": {"HANDSONVLM_BENCH_QUANT": "", "HANDSONVLM_BENCH_SPEC": "0"},
     "train": {"HANDSONVLM_BENCH_TRAIN": "1"},
@@ -493,7 +496,8 @@ def main():
     modes = [
         m.strip()
         for m in os.environ.get(
-            "HANDSONVLM_BENCH_MODES", "seq,spec,spec_greedy,kv8,int8,bf16,train"
+            "HANDSONVLM_BENCH_MODES",
+            "seq,spec,spec_greedy,kv8,spec_kv8,int8,bf16,train"
         ).split(",")
         if m.strip() in MODE_ENV
     ] or ["spec"]
