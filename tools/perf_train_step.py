@@ -46,7 +46,9 @@ def make_batch(cfg, b, t, n_frames, seed=0):
         "input_ids": jnp.asarray(ids),
         "attn_mask": jnp.ones((b, t), bool),
         "image": jnp.asarray(
-            rng.normal(size=(b, n_frames, 3, 224, 224)), cfg.cdtype
+            rng.normal(size=(
+                b, n_frames, 3, cfg.vision.image_size, cfg.vision.image_size
+            )), cfg.cdtype
         ),
         "labels": jnp.asarray(labels),
         "future_hands": jnp.asarray(rng.uniform(size=(b, 2, 5, 2)), jnp.float32),
@@ -81,17 +83,22 @@ def main():
     n_frames = int(os.environ.get("PERF_FRAMES", "10"))
     bs = [int(x) for x in os.environ.get("PERF_B", "1,2,4").split(",")]
     mu_bf16 = os.environ.get("PERF_MU_BF16", "0") == "1"
+    # PERF_MODE=full: FULL SFT (no quantized base, no LoRA — every decoder
+    # weight trains). 7B full SFT cannot fit one 16 GB chip; use
+    # PERF_PRESET=1b (params+grads+Adam ~14 GB with PERF_MU_BF16=1).
+    full_sft = os.environ.get("PERF_MODE", "qlora") == "full"
 
     params, cfg, _tok = load_pretrained_model(
-        f"random:{preset}", preset, quantize="int4"
+        f"random:{preset}", preset, quantize=None if full_sft else "int4"
     )
-    params["lora"] = init_lora(jax.random.PRNGKey(42), cfg.llama, r=r, alpha=2 * r)
+    if not full_sft:
+        params["lora"] = init_lora(jax.random.PRNGKey(42), cfg.llama, r=r, alpha=2 * r)
     import dataclasses
 
     cfg = dataclasses.replace(cfg, num_frames=n_frames)
     tx = make_optimizer(
         learning_rate=2e-5, params_template=params,
-        freeze_top_keys=("vision", "llama"),
+        freeze_top_keys=("vision",) if full_sft else ("vision", "llama"),
         mu_dtype=jnp.bfloat16 if mu_bf16 else None,
     )
     state = create_train_state(params, tx)
@@ -108,14 +115,15 @@ def main():
         loss = float(m["loss"])  # syncs the chain
         dt = (time.time() - t0) / steps
         fl = flops_per_step(cfg, b, t_spliced, n_frames)
-        print(
-            f"B={b} T_spliced={t_spliced} frames={n_frames} lora_r={r}: "
+        mode = "full-sft" if full_sft else f"lora_r={r}"
+        line = (
+            f"B={b} T_spliced={t_spliced} frames={n_frames} {mode}: "
             f"{dt*1e3:.0f} ms/step  {fl['tokens']/dt:.0f} tok/s  "
             f"MFU(6PT)={fl['6pt']/dt/1e12/PEAK_TFLOPS*100:.1f}%  "
-            f"MFU(4PT-frozen)={fl['4pt']/dt/1e12/PEAK_TFLOPS*100:.1f}%  "
-            f"loss={loss:.3f}",
-            flush=True,
         )
+        if not full_sft:
+            line += f"MFU(4PT-frozen)={fl['4pt']/dt/1e12/PEAK_TFLOPS*100:.1f}%  "
+        print(line + f"loss={loss:.3f}", flush=True)
 
 
 if __name__ == "__main__":
