@@ -63,6 +63,15 @@ def main():
     reps = cfg.num_frames // n_unique
     frame_map = np.tile(np.arange(n_unique, dtype=np.int32), reps)
 
+    # HANDSONVLM_KV accepts a comma list ("none,int8") for an interleaved
+    # same-process A/B — tunnel throughput varies 1.5-2x run to run
+    # (CLAUDE.md), so only interleaved comparisons are meaningful. The
+    # weight tree is shared; KV caches are per-call transients.
+    kv_modes = [
+        (None if m in ("", "none", "bf16") else m)
+        for m in os.environ.get("HANDSONVLM_KV", "").split(",")
+    ] or [None]
+
     for b in batches:
         ids = jnp.asarray(np.tile(ids1, (b, 1)))
         uframes = rng.normal(
@@ -70,30 +79,37 @@ def main():
         images = jnp.asarray(uframes, cfg.cdtype)
         fmap = jnp.asarray(np.tile(frame_map[None], (b, 1)))  # per-row maps
 
-        kv_quant = os.environ.get("HANDSONVLM_KV") or None
-
-        def run(seed):
+        def run(seed, kv_quant):
             return generate_chunked(
                 params, cfg, ids, images, jax.random.PRNGKey(seed),
                 max_new_tokens=max_new, temperature=0.5, top_p=0.9,
                 chunk=32, frame_map=fmap, kv_quant=kv_quant,
             )
 
-        try:
-            out = run(0)
-            jax.block_until_ready(out.sequences)
-        except Exception as e:
-            print(f"B={b} FAILED: {type(e).__name__}: {str(e)[:200]}", flush=True)
-            continue
+        live = []
+        for kv in kv_modes:
+            try:
+                out = run(0, kv)
+                jax.block_until_ready(out.sequences)
+                live.append(kv)
+            except Exception as e:
+                print(f"B={b} kv={kv or 'bf16'} FAILED: "
+                      f"{type(e).__name__}: {str(e)[:200]}", flush=True)
         n_iters = 3
-        t0 = time.perf_counter()
-        total = 0
+        stats = {kv: [0, 0.0] for kv in live}  # tokens, seconds
         for i in range(1, n_iters + 1):
-            out = run(i)
-            total += int(jax.device_get(out.num_tokens).sum())
-        dt = time.perf_counter() - t0
-        print(f"B={b}: {total/dt:7.1f} tok/s aggregate "
-              f"({total/dt/b:6.1f}/req, {total} tokens in {dt:.1f}s)", flush=True)
+            for kv in live:  # interleaved A/B
+                t0 = time.perf_counter()
+                out = run(i, kv)
+                n = int(jax.device_get(out.num_tokens).sum())
+                dt = time.perf_counter() - t0
+                stats[kv][0] += n
+                stats[kv][1] += dt
+        for kv in live:
+            total, dt = stats[kv]
+            print(f"B={b} kv={kv or 'bf16':4s}: {total/dt:7.1f} tok/s aggregate "
+                  f"({total/dt/b:6.1f}/req, {total} tokens in {dt:.1f}s)",
+                  flush=True)
 
 
 if __name__ == "__main__":
