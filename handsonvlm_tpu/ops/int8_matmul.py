@@ -538,6 +538,28 @@ INT4_T_BN = int(_os.environ.get("HANDSONVLM_INT4_T_BN", "512"))
 PREFILL4_BLOCK_K = int(_os.environ.get("HANDSONVLM_INT4_PREFILL_BK", "0"))
 
 
+def _prefill4_vmem_est(bm: int, bn: int, bk: int, group: int) -> int:
+    """Scoped-VMEM working-set estimate for one prefill4 grid step: double-
+    buffered x and weight/scale tiles, the bf16 dequant temp (bk*bn — the
+    largest single buffer at full-d contraction), the f32 accumulator
+    scratch, and the double-buffered f32 output block."""
+    x_db = 2 * bm * bk * 2
+    w_db = 2 * ((bk // 2) * bn + 4 * (bk // group) * bn)
+    dequant = bk * bn * 2
+    acc_and_out = bm * bn * 4 + 2 * bm * bn * 4
+    return x_db + w_db + dequant + acc_and_out
+
+
+# Budget just under the 16 MB scoped limit: keeps every measured-green
+# tuned config (eval prefill m=398 est 15.4M, train B=1 m=684 est 14.2M)
+# but rejects block_m=456/bk=4096 (B=4 train bwd: the remat'd pallas_call
+# died at compile with "scoped allocation 16.66M > 16M" — 2026-08-18; the
+# estimate put that config at 16.69M, matching the compiler's number)
+_PREFILL4_VMEM_BUDGET = int(
+    _os.environ.get("HANDSONVLM_INT4_PREFILL_VMEM", str(15_900_000))
+)
+
+
 def _prefill4_blocks(m: int, d: int, n: int, group: int):
     # balance the m-grid: bm=256 at m=398 pads to 2x256=512 rows (29% wasted
     # MXU work); instead split m as evenly as the 8-row granularity allows
@@ -553,7 +575,18 @@ def _prefill4_blocks(m: int, d: int, n: int, group: int):
     block_k = min(want_k, d)
     while block_k > group and (d % block_k or block_k % group):
         block_k //= 2
-    return block_m, block_n, max(block_k, group)
+    block_k = max(block_k, group)
+    # VMEM budget guard: large-batch training shapes (block_m near 512 at
+    # full-d block_k) exceed the ~16 MB scoped limit; shed the contraction
+    # tile first (2 accumulation passes beat a stalled compile), rows last
+    while _prefill4_vmem_est(block_m, block_n, block_k, group) > _PREFILL4_VMEM_BUDGET:
+        if block_k > 2 * group and d % (block_k // 2) == 0:
+            block_k //= 2
+        elif block_m > 64:
+            block_m = -(-(block_m // 2) // 8) * 8
+        else:
+            break
+    return block_m, block_n, block_k
 
 
 def int4_matmul_prefill(

@@ -297,3 +297,32 @@ def test_int4_tiled_custom_vjp_grad_flows():
     g = jax.grad(f)(jnp.asarray(rng.normal(size=(2, 32)), jnp.float32))
     assert np.isfinite(np.asarray(g)).all()
     assert float(np.abs(np.asarray(g)).sum()) > 0
+
+
+def test_prefill4_blocks_respect_vmem_budget():
+    """Every prefill block choice stays under the scoped-VMEM budget, and
+    the measured-green tuned shapes keep their full-d contraction tile.
+
+    Regression for the B=4 train-step compile failure (2026-08-18): the
+    balanced m-split chose block_m=456 with block_k=4096 at m=2736 and the
+    remote compiler died with 'scoped allocation 16.66M > 16M'."""
+    from handsonvlm_tpu.ops.int8_matmul import (
+        _PREFILL4_VMEM_BUDGET,
+        _prefill4_blocks,
+        _prefill4_vmem_est,
+    )
+
+    group = 128
+    for m in (8, 200, 398, 512, 684, 751, 1368, 2048, 2736, 8192):
+        for n in (4096, 11008, 12288, 22016):
+            bm, bn, bk = _prefill4_blocks(m, 4096, n, group)
+            est = _prefill4_vmem_est(bm, bn, bk, group)
+            assert est <= _PREFILL4_VMEM_BUDGET, (m, n, bm, bn, bk, est)
+            assert bk % group == 0 and 4096 % bk == 0
+    # tuned single-sample shapes keep the full-d tile (perf contract:
+    # 37.5 ms eval-prefill chain / 44.9% MFU B=1 train were measured there)
+    for m in (398, 684, 751):
+        assert _prefill4_blocks(m, 4096, 12288, group)[2] == 4096, m
+    # the B=4 train shape now sheds the contraction tile instead of dying
+    bm, bn, bk = _prefill4_blocks(2736, 4096, 12288, group)
+    assert bk < 4096

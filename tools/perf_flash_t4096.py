@@ -60,7 +60,11 @@ def _chain_fwdbwd(fn, k_reps):
 
 
 def bench(make_chain, fn, qkv, reps):
-    K1, K2 = 1, 5
+    # K-pair must be large enough that (K2-K1)*per-iter time dominates the
+    # ~30 ms tunnel jitter: the default (1,5) was fine at T=4096 (ms-scale
+    # iters) but produced a negative difference at T=2048 — use
+    # PERF_KPAIR=8,40 there.
+    K1, K2 = (int(x) for x in os.environ.get("PERF_KPAIR", "1,5").split(","))
     runs = {kk: make_chain(fn, kk) for kk in (K1, K2)}
     for r in runs.values():
         jax.block_until_ready(r(*qkv))

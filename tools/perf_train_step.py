@@ -102,28 +102,43 @@ def main():
         mu_dtype=jnp.bfloat16 if mu_bf16 else None,
     )
     state = create_train_state(params, tx)
-    step = make_train_step(cfg, tx, remat=os.environ.get("HANDSONVLM_REMAT", "full"))
+    # HANDSONVLM_REMAT accepts a comma list for an in-process policy sweep
+    # (tunnel throughput varies 1.5-2x across processes — CLAUDE.md; the
+    # weight tree and optimizer state are shared across policies).
+    remats = [x for x in os.environ.get("HANDSONVLM_REMAT", "full").split(",") if x]
+    steps_by_remat = {rm: make_train_step(cfg, tx, remat=rm) for rm in remats}
 
     t_spliced = t + cfg.num_visual_tokens - 1
     for b in bs:
         batches = [make_batch(cfg, b, t, n_frames, seed=s) for s in range(2)]
-        state, m = step(state, batches[0], jax.random.PRNGKey(0))  # compile
-        float(m["loss"])
-        t0 = time.time()
-        for i in range(steps):
-            state, m = step(state, batches[i % 2], jax.random.PRNGKey(i))
-        loss = float(m["loss"])  # syncs the chain
-        dt = (time.time() - t0) / steps
-        fl = flops_per_step(cfg, b, t_spliced, n_frames)
-        mode = "full-sft" if full_sft else f"lora_r={r}"
-        line = (
-            f"B={b} T_spliced={t_spliced} frames={n_frames} {mode}: "
-            f"{dt*1e3:.0f} ms/step  {fl['tokens']/dt:.0f} tok/s  "
-            f"MFU(6PT)={fl['6pt']/dt/1e12/PEAK_TFLOPS*100:.1f}%  "
-        )
-        if not full_sft:
-            line += f"MFU(4PT-frozen)={fl['4pt']/dt/1e12/PEAK_TFLOPS*100:.1f}%  "
-        print(line + f"loss={loss:.3f}", flush=True)
+        for rm, step in steps_by_remat.items():
+            # the step donates the state, so ONE evolving chain threads
+            # through every policy/batch (a dead chain's buffers would be
+            # lost to the allocator — CLAUDE.md freed-memory bug)
+            try:
+                state, m = step(state, batches[0], jax.random.PRNGKey(0))  # compile
+                float(m["loss"])
+            except Exception as e:
+                # compile failures (VMEM/HBM OOM) leave the donated state
+                # intact — execution never started; keep sweeping
+                print(f"B={b} remat={rm} FAILED: {type(e).__name__}: "
+                      f"{str(e)[:220]}", flush=True)
+                continue
+            t0 = time.time()
+            for i in range(steps):
+                state, m = step(state, batches[i % 2], jax.random.PRNGKey(i))
+            loss = float(m["loss"])  # syncs the chain
+            dt = (time.time() - t0) / steps
+            fl = flops_per_step(cfg, b, t_spliced, n_frames)
+            mode = "full-sft" if full_sft else f"lora_r={r}"
+            line = (
+                f"B={b} T_spliced={t_spliced} frames={n_frames} {mode} remat={rm}: "
+                f"{dt*1e3:.0f} ms/step  {fl['tokens']/dt:.0f} tok/s  "
+                f"MFU(6PT)={fl['6pt']/dt/1e12/PEAK_TFLOPS*100:.1f}%  "
+            )
+            if not full_sft:
+                line += f"MFU(4PT-frozen)={fl['4pt']/dt/1e12/PEAK_TFLOPS*100:.1f}%  "
+            print(line + f"loss={loss:.3f}", flush=True)
 
 
 if __name__ == "__main__":
