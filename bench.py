@@ -338,8 +338,11 @@ def run_train_single():
     import dataclasses
 
     cfg = dataclasses.replace(cfg, num_frames=10)
+    # 13B needs bf16 Adam moments to fit beside the int4 base on one 16 GB
+    # chip (same flag the trainer CLI exposes as --mu-bf16, README)
     tx = make_optimizer(learning_rate=2e-5, params_template=params,
-                        freeze_top_keys=("vision", "llama"))
+                        freeze_top_keys=("vision", "llama"),
+                        mu_dtype=jnp.bfloat16 if preset == "13b" else None)
     state = create_train_state(params, tx)
     step = make_train_step(cfg, tx)
     b, t = 1, 413
@@ -402,7 +405,9 @@ def probe_backend_with_retries():
         remaining = wall - (time.time() - t0)
         if attempt > 1 and remaining <= 10:
             return f"{err} (after {attempt - 1} probes over {wall}s)"
-        budget = per_try if attempt == 1 else max(30, min(per_try, int(remaining)))
+        # every attempt (including the first) is clamped to the remaining
+        # wall so a caller's small PROBE_WALL is actually honored
+        budget = max(30, min(per_try, int(remaining)))
         t_probe = time.time()
         err = subprocess_probe_backend(timeout_s=budget)
         if err is None:

@@ -255,6 +255,12 @@ class SentencePieceModel:
             elif self.byte_fallback and self._byte_to_id:
                 out.extend(self._byte_to_id.get(b, self.unk_id)
                            for b in seg.encode("utf-8"))
+            elif out and out[-1] == self.unk_id:
+                # sentencepiece merges adjacent unknown spans into ONE unk
+                # piece (normalizer keeps the span; ids see a single unk) —
+                # without byte fallback, collapsing keeps token counts (and
+                # the masking arithmetic built on them) aligned
+                continue
             else:
                 out.append(self.unk_id)
         return out

@@ -315,7 +315,10 @@ def _layer(
             and hd % 8 == 0
             and stacked_kernel_ok(ck.shape[2])
         )
-        if use_kernel and t > 1:
+        if use_kernel:
+            # one dispatch covers t == 1 decode and 1 < t <= MAX_T_WINDOW
+            # verify windows: length is cache_index + t either way, and the
+            # kernel applies per-row causal limits when t > 1
             if quant and tp_mesh is not None:
                 from handsonvlm_tpu.parallel.tp import (
                     decode_attention_stacked_q_tp,
@@ -350,40 +353,6 @@ def _layer(
 
                 out = decode_attention_stacked(
                     q, ck, cv, layer_idx, cache_index + t, key_mask=key_mask
-                )
-        elif use_kernel:
-            if quant and tp_mesh is not None:
-                from handsonvlm_tpu.parallel.tp import (
-                    decode_attention_stacked_q_tp,
-                )
-
-                out = decode_attention_stacked_q_tp(
-                    q, ck, cv, cks, cvs, layer_idx, cache_index + 1,
-                    key_mask=key_mask, mesh=tp_mesh,
-                )
-            elif quant:
-                from handsonvlm_tpu.ops.decode_attention import (
-                    decode_attention_stacked_q,
-                )
-
-                out = decode_attention_stacked_q(
-                    q, ck, cv, cks, cvs, layer_idx, cache_index + 1,
-                    key_mask=key_mask,
-                )
-            elif tp_mesh is not None:
-                from handsonvlm_tpu.parallel.tp import decode_attention_stacked_tp
-
-                out = decode_attention_stacked_tp(
-                    q, ck, cv, layer_idx, cache_index + 1, key_mask=key_mask,
-                    mesh=tp_mesh,
-                )
-            else:
-                from handsonvlm_tpu.ops.decode_attention import (
-                    decode_attention_stacked,
-                )
-
-                out = decode_attention_stacked(
-                    q, ck, cv, layer_idx, cache_index + 1, key_mask=key_mask
                 )
         else:
             # XLA dots fuse the layer slice (no copy), unlike pallas operands.

@@ -579,9 +579,19 @@ def _prefill4_blocks(m: int, d: int, n: int, group: int):
     # VMEM budget guard: large-batch training shapes (block_m near 512 at
     # full-d block_k) exceed the ~16 MB scoped limit; shed the contraction
     # tile first (2 accumulation passes beat a stalled compile), rows last
+    def _next_k(bk):
+        # largest legal contraction tile below bk: must divide d AND stay a
+        # multiple of group (plain halving breaks both at 13B shapes, e.g.
+        # d=13824 -> 1728 is not a multiple of 128)
+        for cand in range(bk - group, group - 1, -group):
+            if d % cand == 0:
+                return cand
+        return None
+
     while _prefill4_vmem_est(block_m, block_n, block_k, group) > _PREFILL4_VMEM_BUDGET:
-        if block_k > 2 * group and d % (block_k // 2) == 0:
-            block_k //= 2
+        nk = _next_k(block_k) if block_k > group else None
+        if nk is not None:
+            block_k = nk
         elif block_m > 64:
             block_m = -(-(block_m // 2) // 8) * 8
         else:

@@ -130,6 +130,7 @@ async function send(promptText, restoreOnFail){
   for(const id of ['go','regen','clear']){const el=$(id); if(el) el.disabled=true;}
   lastPrompt = promptText;
   let finalText = '';
+  let failed = false;
   try {
     const resp = await fetch('/generate', {method:'POST', body: JSON.stringify({
       model: $('model').value, prompt: promptText, image_b64: imgB64,
@@ -144,17 +145,20 @@ async function send(promptText, restoreOnFail){
       const parts = buf.split('\\0'); buf = parts.pop();
       for (const p of parts) { if (!p) continue;
         const d = JSON.parse(p);
-        if (d.error_code) { $('out').textContent = 'error: ' + d.error; continue; }
+        if (d.error_code) { failed = true; $('out').textContent = 'error: ' + d.error; continue; }
         finalText = d.text; $('out').textContent = d.text;
         if (d.pred_hands && d.trajectory_valid) drawTraj(d.pred_hands);
       }
     }
-    if (finalText) { history.push([promptText, finalText]); renderChat(); }
+    if (finalText && !failed) { history.push([promptText, finalText]); renderChat(); }
+  } catch (e) {
+    failed = true; $('out').textContent = 'error: ' + e;
   } finally {
     // regenerate popped the last turn before sending; if the retry failed
-    // (worker error, empty text, fetch exception) restore it so the
-    // conversation state isn't silently lost
-    if (!finalText && restoreOnFail) { history.push(restoreOnFail); renderChat(); }
+    // (worker error — even after partial streamed text — empty text, or a
+    // fetch exception) restore it so a complete saved answer is never
+    // silently replaced by a truncated one
+    if ((failed || !finalText) && restoreOnFail) { history.push(restoreOnFail); renderChat(); }
     for(const id of ['go','regen','clear']){const el=$(id); if(el) el.disabled=false;}
   }
 }

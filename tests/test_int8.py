@@ -313,12 +313,16 @@ def test_prefill4_blocks_respect_vmem_budget():
     )
 
     group = 128
-    for m in (8, 200, 398, 512, 684, 751, 1368, 2048, 2736, 8192):
-        for n in (4096, 11008, 12288, 22016):
-            bm, bn, bk = _prefill4_blocks(m, 4096, n, group)
-            est = _prefill4_vmem_est(bm, bn, bk, group)
-            assert est <= _PREFILL4_VMEM_BUDGET, (m, n, bm, bn, bk, est)
-            assert bk % group == 0 and 4096 % bk == 0
+    # 7B (d=4096) and 13B (d=5120 gate/up, d=13824 down-proj) contractions:
+    # every choice must divide d AND stay a multiple of group — plain
+    # halving broke this at d=13824 (1728 = 13.5 * 128)
+    for d in (4096, 5120, 13824):
+        for m in (8, 200, 398, 512, 684, 751, 1368, 2048, 2736, 8192):
+            for n in (4096, 5120, 11008, 12288, 13824, 15360, 22016):
+                bm, bn, bk = _prefill4_blocks(m, d, n, group)
+                est = _prefill4_vmem_est(bm, bn, bk, group)
+                assert est <= _PREFILL4_VMEM_BUDGET, (d, m, n, bm, bn, bk, est)
+                assert bk % group == 0 and d % bk == 0, (d, m, n, bk)
     # tuned single-sample shapes keep the full-d tile (perf contract:
     # 37.5 ms eval-prefill chain / 44.9% MFU B=1 train were measured there)
     for m in (398, 684, 751):

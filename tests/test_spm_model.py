@@ -243,6 +243,20 @@ def test_byte_fallback():
     assert sp.unk_id in sp2.encode("aζb")
 
 
+def test_adjacent_unknowns_merge_to_one_unk():
+    # sentencepiece emits ONE unk piece for an adjacent unknown span
+    # (unigram_model.cc PopulateNodes + id resolution), not one per char —
+    # token counts feed the preprocess_v1 masking arithmetic
+    sp = tiny_model(byte_fallback=False)
+    one = sp.encode("aζb")
+    three = sp.encode("aζζζb")
+    assert one == three
+    assert sum(1 for i in three if i == sp.unk_id) == 1
+    # a known piece between two unknown spans keeps them separate
+    ids = sp.encode("ζaζ")
+    assert sum(1 for i in ids if i == sp.unk_id) == 2
+
+
 def test_decode_skips_control_and_merges_bytes():
     sp = tiny_model(byte_fallback=True)
     ids = [sp.bos_id] + sp.encode("ab") + [sp.eos_id]

@@ -67,31 +67,42 @@ def main():
         "proj_only": dict(do_attn=False, do_mlp=False),
     }
 
+    # two-K differencing (CLAUDE.md): a single dispatch carries ~30-35 ms of
+    # tunnel latency — per-encode time must be the SLOPE between two chain
+    # lengths, not one dispatch's wall divided by K
+    k_chain = max(k_chain, 4)  # need two distinct K values for the slope
+    k_lo = max(1, k_chain // 4)
     results = {}
     for name, abl in modes.items():
         orig = clip_vit._encoder_layer
         clip_vit._encoder_layer = functools.partial(_layer_ablated, **abl)
         try:
-            @jax.jit
-            def run(params, px):
-                def body(i, state):
-                    px, acc = state
-                    out = apply_clip_vision(params, cfg, px, attn_impl="auto")
-                    delta = out[:, 0, :1].sum().astype(jnp.float32)
-                    px = (px + (acc + delta) * 1e-6).astype(px.dtype)
-                    return px, acc + delta
-                return jax.lax.fori_loop(0, k_chain, body, (px, jnp.float32(0)))[1]
+            def make_run(k_reps):
+                @jax.jit
+                def run(params, px):
+                    def body(i, state):
+                        px, acc = state
+                        out = apply_clip_vision(params, cfg, px, attn_impl="auto")
+                        delta = out[:, 0, :1].sum().astype(jnp.float32)
+                        px = (px + (acc + delta) * 1e-6).astype(px.dtype)
+                        return px, acc + delta
+                    return jax.lax.fori_loop(0, k_reps, body, (px, jnp.float32(0)))[1]
+                return run
 
-            times = []
+            runs = {kk: make_run(kk) for kk in (k_lo, k_chain)}
+            times = {k_lo: [], k_chain: []}
             for rep in range(4):
-                px = jax.random.normal(
-                    jax.random.PRNGKey(rep),
-                    (b, 3, cfg.image_size, cfg.image_size), jnp.bfloat16)
-                np.asarray(jax.device_get(px[0, 0, 0, :1]))  # upload sync
-                t0 = time.time()
-                np.asarray(jax.device_get(run(params, px)))
-                times.append((time.time() - t0) * 1e3 / k_chain)
-            results[name] = float(np.median(times[1:]))
+                for kk in (k_lo, k_chain):
+                    px = jax.random.normal(
+                        jax.random.PRNGKey(rep),
+                        (b, 3, cfg.image_size, cfg.image_size), jnp.bfloat16)
+                    np.asarray(jax.device_get(px[0, 0, 0, :1]))  # upload sync
+                    t0 = time.time()
+                    np.asarray(jax.device_get(runs[kk](params, px)))
+                    times[kk].append((time.time() - t0) * 1e3)
+            results[name] = float(
+                (np.median(times[k_chain][1:]) - np.median(times[k_lo][1:]))
+                / (k_chain - k_lo))
             print(f"{name:10s}: {results[name]:7.2f} ms / encode (B={b})",
                   flush=True)
         finally:

@@ -41,13 +41,21 @@ def main():
         int8_matmul.PREFILL4_BLOCK_M = bm
         int8_matmul.PREFILL4_BLOCK_N = bn
         int8_matmul.PREFILL4_BLOCK_K = bk
+        # label rows with the EFFECTIVE blocks — the VMEM-budget guard in
+        # _prefill4_blocks may rewrite a requested config (shedding bk/bm),
+        # and a timing must not be attributed to blocks that never ran
+        eff_tag = "  eff: " + " ".join(
+            f"{name}={'/'.join(map(str, int8_matmul._prefill4_blocks(T, d_in, n_out, 128)))}"
+            for name, d_in, n_out in (
+                ("up", cfg.hidden_size, cfg.intermediate_size),
+                ("down", cfg.intermediate_size, cfg.hidden_size)))
         jax.clear_caches()
         fn = make_fn(cfg)
         x = jax.random.normal(jax.random.PRNGKey(1), (1, T, cfg.hidden_size), jnp.bfloat16)
         try:
             np.asarray(jax.device_get(fn(params, x)))
         except Exception as e:
-            print(f"bm={bm} bn={bn} bk={bk}: FAILED {type(e).__name__}: {str(e)[:120]}", flush=True)
+            print(f"bm={bm} bn={bn} bk={bk}: FAILED {type(e).__name__}: {str(e)[:120]}{eff_tag}", flush=True)
             continue
         times = []
         for rep in range(4):
@@ -56,7 +64,7 @@ def main():
             t0 = time.time()
             np.asarray(jax.device_get(fn(params, x)))
             times.append((time.time() - t0) * 1e3 / K)
-        print(f"bm={bm} bn={bn} bk={bk}: {np.median(times):7.2f} ms per T={T} prefill", flush=True)
+        print(f"bm={bm} bn={bn} bk={bk}: {np.median(times):7.2f} ms per T={T} prefill{eff_tag}", flush=True)
 
 if __name__ == "__main__":
     main()
