@@ -121,9 +121,13 @@ def _best_impl(q: jnp.ndarray, decode_length=None, *, key_mask=None,
     shapes (B=100, T=257, D=64, non-causal): XLA wins below T~2048 at
     d=128 vs flash, but the VMEM-resident ViT kernel wins at batch
     (tools/perf_vit_attn.py, 2026-08-17, K=2000 chains): B=100 0.854 vs
-    XLA 2.417 ms/layer, B=40 0.351 vs 0.823; at the B=10 frame-deduped
-    serving batch XLA narrowly wins (0.055 vs 0.089, both negligible) —
-    the vit route is gated at B>=16."""
+    XLA 2.417 ms/layer, B=40 0.351 vs 0.823. The standalone B=10 numbers
+    (XLA 0.055 vs vit 0.089) were misleading: IN-CONTEXT, inside the full
+    CLIP encoder, the same A/B is vit 13.34 vs XLA 14.5 ms/encode
+    (tools/perf_clip_breakdown.py PERF_IMPLS=xla,vit,xla, 2026-08-18 —
+    XLA's materialized f32 score tensors cost more when interleaved with
+    the GEMM stream than alone), so the vit route is gated at B>=8
+    (below that the whole encode is sub-ms and not worth a kernel)."""
     try:
         platform = jax.devices()[0].platform
     except Exception:  # pragma: no cover
@@ -133,7 +137,7 @@ def _best_impl(q: jnp.ndarray, decode_length=None, *, key_mask=None,
         return "xla"
     if t == 1 and decode_length is not None and d % 8 == 0:
         return "decode"
-    if kv_shape is not None and kv_shape == q.shape and q.shape[0] >= 16:
+    if kv_shape is not None and kv_shape == q.shape and q.shape[0] >= 8:
         from handsonvlm_tpu.ops.vit_attention import vit_attention_ok
 
         if vit_attention_ok(q, q, q, key_mask, causal):

@@ -54,6 +54,10 @@ def _layer_ablated(hidden, lp, cfg, attn_impl, *, do_attn, do_mlp):
 
 def main():
     b = int(os.environ.get("PERF_B", "10"))
+    impl = os.environ.get("PERF_IMPL", "auto")  # force vit/xla for in-context A/B
+    # PERF_IMPLS=xla,vit: same-process interleaved impl A/B over the FULL
+    # encoder only (cross-process comparisons are tunnel-noise, CLAUDE.md)
+    impls = [x for x in os.environ.get("PERF_IMPLS", "").split(",") if x]
     k_chain = int(os.environ.get("PERF_K", "8"))
     cfg = get_config("7b").vision
     params = jax.jit(lambda k: init_clip_vision(k, cfg, jnp.bfloat16))(
@@ -66,6 +70,11 @@ def main():
         "no_mlp": dict(do_attn=True, do_mlp=False),
         "proj_only": dict(do_attn=False, do_mlp=False),
     }
+    if impls:
+        # index the keys: a repeated impl (e.g. xla,vit,xla to gauge
+        # in-process drift) must not collapse into one dict entry
+        modes = {f"full[{i}:{im}]": dict(do_attn=True, do_mlp=True, impl=im)
+                 for i, im in enumerate(impls)}
 
     # two-K differencing (CLAUDE.md): a single dispatch carries ~30-35 ms of
     # tunnel latency — per-encode time must be the SLOPE between two chain
@@ -75,6 +84,7 @@ def main():
     results = {}
     for name, abl in modes.items():
         orig = clip_vit._encoder_layer
+        mode_impl = abl.pop("impl", impl)
         clip_vit._encoder_layer = functools.partial(_layer_ablated, **abl)
         try:
             def make_run(k_reps):
@@ -82,7 +92,7 @@ def main():
                 def run(params, px):
                     def body(i, state):
                         px, acc = state
-                        out = apply_clip_vision(params, cfg, px, attn_impl="auto")
+                        out = apply_clip_vision(params, cfg, px, attn_impl=mode_impl)
                         delta = out[:, 0, :1].sum().astype(jnp.float32)
                         px = (px + (acc + delta) * 1e-6).astype(px.dtype)
                         return px, acc + delta
@@ -108,7 +118,7 @@ def main():
         finally:
             clip_vit._encoder_layer = orig
 
-    if all(m in results for m in modes):
+    if not impls and all(m in results for m in modes):
         print(f"attention part ~ {results['full'] - results['no_attn']:.2f} ms; "
               f"mlp part ~ {results['full'] - results['no_mlp']:.2f} ms; "
               f"projection+glue floor ~ {results['proj_only']:.2f} ms",
