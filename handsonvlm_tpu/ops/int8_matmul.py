@@ -527,7 +527,13 @@ def _prefill4_kernel(xr_ref, w_ref, s_ref, o_ref, acc_ref):
 # _prefill4_blocks keeps the actual block near ceil(m/nb) so small m never
 # over-allocates.
 PREFILL4_BLOCK_M = int(_os.environ.get("HANDSONVLM_INT4_PREFILL_BM", "512"))
-PREFILL4_BLOCK_N = int(_os.environ.get("HANDSONVLM_INT4_PREFILL_BN", "512"))
+PREFILL4_BLOCK_N = int(_os.environ.get("HANDSONVLM_INT4_PREFILL_BN", "256"))
+# bn default 256 (was 512): the 2026-08-18 on-chip sweep
+# (tools/perf_int4_prefill_tune.py) measured (bm=512,bn=256,full-d bk)
+# at 63.0 ms per T=512 7B forward vs 66.3 for the old effective default
+# (512,512 sheds to bk=2048 under the VMEM budget) and 70.8 for
+# (256,512) — the narrower n-tile keeps the full-d contraction inside
+# scoped VMEM, and x re-DMA is free across n-steps (constant block index)
 # tuned on-chip: (256,512) 65 ms vs (512,256) 74, (128,512) 87, (256,256)
 # 107 per T=512 7B prefill (tools/perf_int4_prefill_tune.py); env knobs for
 # debugging compiler limits at other model scales (13B backward probe)

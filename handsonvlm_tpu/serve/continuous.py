@@ -1,0 +1,363 @@
+"""Continuous batching: requests join and leave a shared decode batch at
+chunk boundaries (TPU-first serving; the reference serves one request per
+generate call, llava/serve/model_worker.py).
+
+Design (shaped by this backend's measured constraints, docs/PERF_NOTES.md):
+
+- ONE persistent stacked cache (L, B_slots, S, K, D) and ONE shared write
+  cursor (`cache.index`). Every live row writes its next token at the same
+  global position, so the hot path keeps the plain dynamic-update-slice
+  writes whose in-place aliasing is proven (per-row scatter writes would
+  risk the copy-unification failure that lax.cond-in-carry triggers).
+- A joining request's prompt KV is prefilled (B=1) and spliced into its
+  slot's plane at [cursor, cursor + plen); the cursor then jumps past it
+  for everyone. Other rows simply have a masked hole there — each row's
+  valid-key set is tracked in a host-maintained (B, S) mask uploaded at
+  chunk boundaries (apply_llama ANDs it with the written-positions mask).
+- Rotary positions are per-row local: position = cursor - start_r, where
+  start_r is the global slot of the row's first prompt token (apply_llama
+  `positions` argument) — a row's logits are bit-equal to a solo decode
+  regardless of batch composition (tests/test_continuous.py).
+- RNG is per-row: step key = fold_in(row_key, local_step), so a request's
+  sampled stream is also composition-independent.
+- Space: the cursor consumes sum(prompt buckets) + chunk * n_chunks of S.
+  `can_admit` refuses joins that would overrun; when all slots idle the
+  engine resets the cursor to 0 (the cache contents are dead then).
+
+The chunk step reuses the sampler's embed/hand-waypoint protocol
+(infer/sampler.decode_chunk semantics) with per-row keys and positions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from handsonvlm_tpu.core.config import HandsOnVLMConfig
+from handsonvlm_tpu.infer.sampler import (
+    EOS_TOKEN_ID,
+    MAX_HAND_STEPS,
+    PAD_TOKEN_ID,
+    SampleOutput,
+    _round_cache_len,
+    _sample_token,
+    prefill,
+)
+from handsonvlm_tpu.models.handsonvlm import decode_hand_waypoint, embed_next_token
+from handsonvlm_tpu.models.llama import (
+    KVCache,
+    QuantKVCache,
+    apply_llama,
+    lm_logits,
+    quantize_kv_cache,
+)
+
+
+def _row_sample(keys, logits, temperature, top_p):
+    """Per-row sampling: row r uses ONLY keys[r], so its stream does not
+    depend on which other requests share the batch."""
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jax.vmap(
+        lambda k, lg: _sample_token(k, lg[None], temperature, top_p)[0]
+    )(keys, logits)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "s1", "attn_impl", "kv_quant"),
+    donate_argnums=(1,),
+)
+def _join_jit(params, cache, cfg: HandsOnVLMConfig, input_ids, images,
+              row, at_pos, row_key, *, s1: int, attn_impl: str,
+              kv_quant: Optional[str]):
+    """Prefill ONE request (B=1) into a transient cache of bucket length
+    `s1`, splice its KV into slot `row` of the persistent cache at
+    `at_pos`, and sample the request's first token. The transient stays
+    program-internal (freed device buffers never return to the allocator
+    on this backend — CLAUDE.md)."""
+    last_hidden, pcache, _ = prefill(
+        params, cfg, input_ids, images, s1, attn_impl=attn_impl)
+    if kv_quant == "int8":
+        pcache = quantize_kv_cache(pcache)
+        ks = jax.lax.dynamic_update_slice(
+            cache.ks, pcache.ks, (0, row, 0, at_pos))
+        vs = jax.lax.dynamic_update_slice(
+            cache.vs, pcache.vs, (0, row, 0, at_pos))
+        k = jax.lax.dynamic_update_slice(
+            cache.k, pcache.k, (0, row, at_pos, 0, 0))
+        v = jax.lax.dynamic_update_slice(
+            cache.v, pcache.v, (0, row, at_pos, 0, 0))
+        cache = dataclasses.replace(cache, k=k, v=v, ks=ks, vs=vs)
+    else:
+        k = jax.lax.dynamic_update_slice(
+            cache.k, pcache.k.astype(cache.k.dtype), (0, row, at_pos, 0, 0))
+        v = jax.lax.dynamic_update_slice(
+            cache.v, pcache.v.astype(cache.v.dtype), (0, row, at_pos, 0, 0))
+        cache = dataclasses.replace(cache, k=k, v=v)
+    return cache, last_hidden[0], jax.random.fold_in(row_key, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "temperature", "top_p"))
+def _first_token_row(params, cfg, last_hidden, key0, *, temperature, top_p):
+    r_tok, r_hand = jax.random.split(key0)
+    logits = lm_logits(params["llama"], cfg.llama, last_hidden[None, None])[0, 0]
+    token = _sample_token(r_tok, logits[None], temperature, top_p)[0]
+    waypoint = decode_hand_waypoint(params, cfg, last_hidden[None], r_hand)[0]
+    return token, waypoint
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _set_row(vec, row, val):
+    return jax.lax.dynamic_update_index_in_dim(vec, val.astype(vec.dtype),
+                                               row, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "k", "temperature", "top_p", "attn_impl"),
+    donate_argnums=(1,),
+)
+def _chunk_jit(params, cache, cache_mask, starts, steps, row_keys,
+               cur_token, cur_waypoint, finished, cfg: HandsOnVLMConfig, *,
+               k: int, temperature: float, top_p: float, attn_impl: str,
+               eos_token_id: int = EOS_TOKEN_ID):
+    """k decode steps for the whole slot batch in one dispatch.
+
+    Same protocol as infer/sampler.decode_chunk, generalized with per-row
+    rotary offsets (`starts`), per-row rng (fold_in(row_keys, steps)), and
+    the host-maintained key mask. No lax.cond in the carry (aliasing,
+    CLAUDE.md); idle/finished rows decode masked garbage that the host
+    discards."""
+    b = cur_token.shape[0]
+
+    def body(i, state):
+        cache, tok, wp, fin, steps, tokens, wps, hands = state
+        step_keys = jax.vmap(jax.random.fold_in)(row_keys, steps)
+        r_tok = jax.vmap(lambda s: jax.random.split(s)[0])(step_keys)
+        r_hand = jax.vmap(lambda s: jax.random.split(s)[1])(step_keys)
+        emb = embed_next_token(params, cfg, tok, wp)
+        positions = (cache.index - starts)[:, None]
+        hidden, cache = apply_llama(
+            params["llama"], cfg.llama, inputs_embeds=emb[:, None, :],
+            attn_mask=cache_mask, positions=positions, kv_cache=cache,
+            attn_impl=attn_impl, lora=params.get("lora"),
+        )
+        h = hidden[:, 0, :]
+        logits = lm_logits(params["llama"], cfg.llama, h[:, None, :])[:, 0]
+        ntok = _row_sample(r_tok, logits, temperature, top_p)
+        nwp = jax.vmap(
+            lambda key, hr: decode_hand_waypoint(params, cfg, hr[None], key)[0]
+        )(r_hand, h)
+        ntok = jnp.where(fin, PAD_TOKEN_ID, ntok)
+        tokens = tokens.at[:, i].set(ntok)
+        wps = wps.at[:, i].set(nwp)
+        hands = hands.at[:, i].set((ntok == cfg.hand_token_id) & ~fin)
+        fin = fin | (ntok == eos_token_id)
+        return (cache, ntok, nwp, fin, steps + 1, tokens, wps, hands)
+
+    init = (
+        cache, cur_token, cur_waypoint, finished, steps,
+        jnp.zeros((b, k), jnp.int32),
+        jnp.zeros((b, k, 2, 2), jnp.float32),
+        jnp.zeros((b, k), bool),
+    )
+    return jax.lax.fori_loop(0, k, body, init)
+
+
+@dataclasses.dataclass
+class _Slot:
+    busy: bool = False
+    start: int = 0          # global slot of the prompt's first token
+    max_new: int = 0
+    seed: int = 0
+    tokens: Optional[List[int]] = None
+    wps: Optional[List[np.ndarray]] = None
+    hands: Optional[List[bool]] = None
+    done: bool = False
+
+
+class ContinuousEngine:
+    """Slot-based continuous decode over one persistent cache.
+
+    Host API (all methods are chunk-boundary operations):
+      can_admit(prompt_len) -> bool
+      join(input_ids (1,Tp), images (1,F,3,H,W), seed, max_new) -> slot id
+      step() -> list of (slot, SampleOutput) for requests finished this chunk
+      idle() -> True when no slot is busy
+    """
+
+    def __init__(self, params, cfg: HandsOnVLMConfig, *, slots: int = 4,
+                 max_len: int = 2048, chunk: int = 8,
+                 temperature: float = 0.5, top_p: float = 0.9,
+                 attn_impl: str = "auto", kv_quant: Optional[str] = None,
+                 eos_token_id: int = EOS_TOKEN_ID):
+        self.params = params
+        self.cfg = cfg
+        self.b = slots
+        self.s = max_len
+        self.chunk = chunk
+        self.temperature = temperature
+        self.top_p = top_p
+        self.attn_impl = attn_impl
+        self.kv_quant = kv_quant
+        self.eos = eos_token_id
+
+        # same dtype rule as prefill(): the cache holds activations, so it
+        # follows the embedding table's dtype (bf16 on TPU, f32 CPU tests)
+        dtype = params["llama"]["embed"]["weight"].dtype
+        lc = cfg.llama
+        shape = (lc.num_layers, slots, max_len, lc.kv_heads, lc.head_dim_)
+        if kv_quant == "int8":
+            # build the empty quant cache directly (quantizing a zeros bf16
+            # cache would materialize throwaway fp32 temporaries — the
+            # freed-memory leak, CLAUDE.md); scales 1.0 dequant the zeros
+            self.cache = QuantKVCache(
+                k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+                ks=jnp.ones((lc.num_layers, slots, lc.kv_heads, max_len),
+                            jnp.float32),
+                vs=jnp.ones((lc.num_layers, slots, lc.kv_heads, max_len),
+                            jnp.float32),
+                index=jnp.zeros((), jnp.int32),
+            )
+        else:
+            self.cache = KVCache.create(cfg.llama, slots, max_len, dtype)
+        self.pos = 0  # host mirror of cache.index
+        self.mask = np.zeros((slots, max_len), bool)
+        self.starts = jnp.zeros((slots,), jnp.int32)
+        self.steps = jnp.ones((slots,), jnp.int32)
+        self.row_keys = jnp.stack(
+            [jax.random.PRNGKey(0)] * slots)  # replaced per join
+        self.cur_token = jnp.zeros((slots,), jnp.int32)
+        self.cur_waypoint = jnp.zeros((slots, 2, 2), jnp.float32)
+        self.finished = jnp.ones((slots,), bool)
+        self.slots = [_Slot() for _ in range(slots)]
+
+    # -- admission ----------------------------------------------------------
+
+    def _bucket(self, prompt_len: int) -> int:
+        # the transient prefill cache never feeds the stacked decode kernel
+        # (decode runs over the persistent S-length cache, already a
+        # multiple of 256), so the bucket only needs prefill's t_out+1
+        # minimum, rounded to 128 to bound recompiles across prompt lengths
+        t_out = prompt_len + self.cfg.num_visual_tokens - 1
+        return -(-(t_out + 1) // 128) * 128
+
+    def can_admit(self, prompt_len: int) -> bool:
+        if not any(not s.busy for s in self.slots):
+            return False
+        return self.pos + self._bucket(prompt_len) + self.chunk <= self.s
+
+    def idle(self) -> bool:
+        return not any(s.busy for s in self.slots)
+
+    def join(self, input_ids, images, seed: int, max_new: int) -> int:
+        """Admit one request (caller must have checked can_admit)."""
+        if self.idle() and self.pos > 0:
+            # every plane is dead — reclaim the whole cursor range
+            self.pos = 0
+            self.cache = dataclasses.replace(
+                self.cache, index=jnp.zeros((), jnp.int32))
+            self.mask[:] = False
+        input_ids = np.asarray(input_ids)
+        assert input_ids.shape[0] == 1
+        t_out = input_ids.shape[1] + self.cfg.num_visual_tokens - 1
+        s1 = self._bucket(input_ids.shape[1])
+        row = next(i for i, s in enumerate(self.slots) if not s.busy)
+        at = self.pos
+        if at + s1 + self.chunk > self.s:
+            raise RuntimeError("cache exhausted; check can_admit first")
+
+        row_key = jax.random.PRNGKey(seed)
+        self.cache, last_hidden, key0 = _join_jit(
+            self.params, self.cache, self.cfg, jnp.asarray(input_ids),
+            jnp.asarray(images), row, at, row_key,
+            s1=s1, attn_impl=self.attn_impl, kv_quant=self.kv_quant)
+        token, waypoint = _first_token_row(
+            self.params, self.cfg, last_hidden, key0,
+            temperature=self.temperature, top_p=self.top_p)
+
+        # bookkeeping: cursor jumps past the prompt bucket for everyone;
+        # only the joiner's mask covers the prompt span
+        self.mask[row, :] = False
+        self.mask[row, at:at + t_out] = True
+        self.pos = at + s1
+        self.cache = dataclasses.replace(
+            self.cache, index=jnp.asarray(self.pos, jnp.int32))
+        self.starts = _set_row(self.starts, row, jnp.asarray(at + s1 - t_out))
+        self.steps = _set_row(self.steps, row, jnp.asarray(1))
+        self.row_keys = self.row_keys.at[row].set(row_key)
+        self.cur_token = _set_row(self.cur_token, row, token)
+        self.cur_waypoint = jax.lax.dynamic_update_index_in_dim(
+            self.cur_waypoint, waypoint.astype(jnp.float32), row, 0)
+        self.finished = _set_row(self.finished, row,
+                                 jnp.asarray(token == self.eos))
+
+        tok0 = int(token)
+        wp0 = np.asarray(waypoint, np.float32)
+        self.slots[row] = _Slot(
+            busy=True, start=at + s1 - t_out, max_new=max_new, seed=seed,
+            tokens=[tok0], wps=[wp0],
+            hands=[tok0 == self.cfg.hand_token_id], done=tok0 == self.eos)
+        return row
+
+    # -- decode -------------------------------------------------------------
+
+    def step(self):
+        """One chunk of decode for every slot; returns finished requests."""
+        if self.pos + self.chunk > self.s:
+            raise RuntimeError("cache exhausted")
+        # the chunk will write [pos, pos+chunk) for every row
+        self.mask[:, self.pos:self.pos + self.chunk] = True
+        (self.cache, self.cur_token, self.cur_waypoint, self.finished,
+         self.steps, tokens, wps, hands) = _chunk_jit(
+            self.params, self.cache, jnp.asarray(self.mask), self.starts,
+            self.steps, self.row_keys, self.cur_token, self.cur_waypoint,
+            self.finished, self.cfg,
+            k=self.chunk, temperature=self.temperature, top_p=self.top_p,
+            attn_impl=self.attn_impl, eos_token_id=self.eos)
+        self.pos += self.chunk
+        tokens = np.asarray(jax.device_get(tokens))
+        wps = np.asarray(jax.device_get(wps))
+        hands = np.asarray(jax.device_get(hands))
+
+        done = []
+        for r, slot in enumerate(self.slots):
+            if not slot.busy:
+                continue
+            for i in range(self.chunk):
+                if slot.done or len(slot.tokens) >= slot.max_new:
+                    break
+                tok = int(tokens[r, i])
+                slot.tokens.append(tok)
+                slot.wps.append(wps[r, i])
+                slot.hands.append(bool(hands[r, i]))
+                if tok == self.eos:
+                    slot.done = True
+            if slot.done or len(slot.tokens) >= slot.max_new:
+                done.append((r, self._finalize(slot)))
+                self.slots[r] = _Slot()
+        return done
+
+    def _finalize(self, slot: _Slot) -> SampleOutput:
+        n = len(slot.tokens)
+        toks = np.full((1, slot.max_new), PAD_TOKEN_ID, np.int32)
+        toks[0, :n] = slot.tokens
+        pred = np.zeros((1, MAX_HAND_STEPS, 2, 2), np.float32)
+        nh = 0
+        for j, is_hand in enumerate(slot.hands):
+            if is_hand and nh < MAX_HAND_STEPS:
+                pred[0, nh] = slot.wps[j]
+                nh += 1
+        return SampleOutput(
+            sequences=toks,
+            num_tokens=np.asarray([n], np.int32),
+            pred_hands=np.ascontiguousarray(pred.transpose(0, 2, 1, 3)),
+            num_hands=np.asarray([nh], np.int32),
+        )

@@ -327,6 +327,19 @@ def test_prefill4_blocks_respect_vmem_budget():
     # 37.5 ms eval-prefill chain / 44.9% MFU B=1 train were measured there)
     for m in (398, 684, 751):
         assert _prefill4_blocks(m, 4096, 12288, group)[2] == 4096, m
-    # the B=4 train shape now sheds the contraction tile instead of dying
+    # the B=4 train shape: under the tuned bn=256 default the full-d tile
+    # fits the budget (narrower n-tile shrinks the dequant temp) — no
+    # shedding needed; under the old bn=512 the guard must still shed bk
+    # instead of dying at compile (the original regression)
+    import handsonvlm_tpu.ops.int8_matmul as im
+
     bm, bn, bk = _prefill4_blocks(2736, 4096, 12288, group)
-    assert bk < 4096
+    assert _prefill4_vmem_est(bm, bn, bk, group) <= _PREFILL4_VMEM_BUDGET
+    old_bn = im.PREFILL4_BLOCK_N
+    try:
+        im.PREFILL4_BLOCK_N = 512
+        bm, bn, bk = _prefill4_blocks(2736, 4096, 12288, group)
+        assert bk < 4096
+        assert _prefill4_vmem_est(bm, bn, bk, group) <= _PREFILL4_VMEM_BUDGET
+    finally:
+        im.PREFILL4_BLOCK_N = old_bn
