@@ -44,8 +44,6 @@ from handsonvlm_tpu.infer.sampler import (
     MAX_HAND_STEPS,
     PAD_TOKEN_ID,
     SampleOutput,
-    _round_cache_len,
-    _sample_token,
     prefill,
 )
 from handsonvlm_tpu.models.handsonvlm import decode_hand_waypoint, embed_next_token
@@ -58,14 +56,31 @@ from handsonvlm_tpu.models.llama import (
 )
 
 
-def _row_sample(keys, logits, temperature, top_p):
-    """Per-row sampling: row r uses ONLY keys[r], so its stream does not
-    depend on which other requests share the batch."""
-    if temperature <= 0.0:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+def _sample_token_traced(rng, logits, temperature, top_p):
+    """`infer.sampler._sample_token` with TRACED scalars (that one branches
+    in Python on `temperature <= 0.0` / `top_p < 1.0`, which would recompile
+    per distinct user float — unacceptable for serving). Same math:
+    temperature<=0 selects the argmax via `where`; top_p=1.0 makes the top-p
+    cutoff land on the smallest sorted logit, i.e. a no-op."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    warped = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
+    sorted_logits = jnp.sort(warped, axis=-1)  # ascending
+    cum_probs = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+    cutoff_idx = (cum_probs <= (1.0 - top_p)).sum(axis=-1, keepdims=True)
+    threshold = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+    warped = jnp.where(warped < threshold, -jnp.inf, warped)
+    sampled = jax.random.categorical(rng, warped, axis=-1).astype(jnp.int32)
+    return jnp.where(temperature > 0.0, sampled, greedy)
+
+
+def _row_sample(keys, logits, temps, top_ps):
+    """Per-row sampling: row r uses ONLY keys[r] / temps[r] / top_ps[r], so
+    its stream does not depend on which other requests share the batch —
+    and each request keeps its own decode settings inside the shared
+    chunk dispatch."""
     return jax.vmap(
-        lambda k, lg: _sample_token(k, lg[None], temperature, top_p)[0]
-    )(keys, logits)
+        lambda k, lg, t, p: _sample_token_traced(k, lg[None], t, p)[0]
+    )(keys, logits, temps, top_ps)
 
 
 @functools.partial(
@@ -74,7 +89,7 @@ def _row_sample(keys, logits, temperature, top_p):
     donate_argnums=(1,),
 )
 def _join_jit(params, cache, cfg: HandsOnVLMConfig, input_ids, images,
-              row, at_pos, row_key, *, s1: int, attn_impl: str,
+              row, at_pos, row_key, frame_map, *, s1: int, attn_impl: str,
               kv_quant: Optional[str]):
     """Prefill ONE request (B=1) into a transient cache of bucket length
     `s1`, splice its KV into slot `row` of the persistent cache at
@@ -82,7 +97,8 @@ def _join_jit(params, cache, cfg: HandsOnVLMConfig, input_ids, images,
     program-internal (freed device buffers never return to the allocator
     on this backend — CLAUDE.md)."""
     last_hidden, pcache, _ = prefill(
-        params, cfg, input_ids, images, s1, attn_impl=attn_impl)
+        params, cfg, input_ids, images, s1, attn_impl=attn_impl,
+        frame_map=frame_map)
     if kv_quant == "int8":
         pcache = quantize_kv_cache(pcache)
         ks = jax.lax.dynamic_update_slice(
@@ -103,12 +119,11 @@ def _join_jit(params, cache, cfg: HandsOnVLMConfig, input_ids, images,
     return cache, last_hidden[0], jax.random.fold_in(row_key, 0)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "temperature", "top_p"))
-def _first_token_row(params, cfg, last_hidden, key0, *, temperature, top_p):
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _first_token_row(params, cfg, last_hidden, key0, temperature, top_p):
     r_tok, r_hand = jax.random.split(key0)
     logits = lm_logits(params["llama"], cfg.llama, last_hidden[None, None])[0, 0]
-    token = _sample_token(r_tok, logits[None], temperature, top_p)[0]
+    token = _sample_token_traced(r_tok, logits[None], temperature, top_p)[0]
     waypoint = decode_hand_waypoint(params, cfg, last_hidden[None], r_hand)[0]
     return token, waypoint
 
@@ -121,13 +136,13 @@ def _set_row(vec, row, val):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "k", "temperature", "top_p", "attn_impl"),
+    static_argnames=("cfg", "k", "attn_impl"),
     donate_argnums=(1,),
 )
 def _chunk_jit(params, cache, cache_mask, starts, steps, row_keys,
-               cur_token, cur_waypoint, finished, cfg: HandsOnVLMConfig, *,
-               k: int, temperature: float, top_p: float, attn_impl: str,
-               eos_token_id: int = EOS_TOKEN_ID):
+               cur_token, cur_waypoint, finished, temps, top_ps,
+               cfg: HandsOnVLMConfig, *,
+               k: int, attn_impl: str, eos_token_id: int = EOS_TOKEN_ID):
     """k decode steps for the whole slot batch in one dispatch.
 
     Same protocol as infer/sampler.decode_chunk, generalized with per-row
@@ -151,7 +166,7 @@ def _chunk_jit(params, cache, cache_mask, starts, steps, row_keys,
         )
         h = hidden[:, 0, :]
         logits = lm_logits(params["llama"], cfg.llama, h[:, None, :])[:, 0]
-        ntok = _row_sample(r_tok, logits, temperature, top_p)
+        ntok = _row_sample(r_tok, logits, temps, top_ps)
         nwp = jax.vmap(
             lambda key, hr: decode_hand_waypoint(params, cfg, hr[None], key)[0]
         )(r_hand, h)
@@ -230,6 +245,10 @@ class ContinuousEngine:
             self.cache = KVCache.create(cfg.llama, slots, max_len, dtype)
         self.pos = 0  # host mirror of cache.index
         self.mask = np.zeros((slots, max_len), bool)
+        # per-row decode settings (traced, not static: serving sees arbitrary
+        # user floats and must not recompile per value)
+        self.temps = jnp.full((slots,), temperature, jnp.float32)
+        self.top_ps = jnp.full((slots,), top_p, jnp.float32)
         self.starts = jnp.zeros((slots,), jnp.int32)
         self.steps = jnp.ones((slots,), jnp.int32)
         self.row_keys = jnp.stack(
@@ -252,13 +271,26 @@ class ContinuousEngine:
     def can_admit(self, prompt_len: int) -> bool:
         if not any(not s.busy for s in self.slots):
             return False
-        return self.pos + self._bucket(prompt_len) + self.chunk <= self.s
+        # when every slot is idle, join() reclaims the cursor first — judge
+        # capacity from 0, not from the dead cursor position
+        pos = 0 if self.idle() else self.pos
+        return pos + self._bucket(prompt_len) + self.chunk <= self.s
 
     def idle(self) -> bool:
         return not any(s.busy for s in self.slots)
 
-    def join(self, input_ids, images, seed: int, max_new: int) -> int:
-        """Admit one request (caller must have checked can_admit)."""
+    def join(self, input_ids, images, seed: int, max_new: int,
+             temperature: Optional[float] = None,
+             top_p: Optional[float] = None, frame_map=None) -> int:
+        """Admit one request (caller must have checked can_admit).
+
+        `temperature`/`top_p` override the engine defaults for THIS request
+        only — each row samples with its own settings (`_row_sample`), so
+        heterogeneous requests can share the decode batch. `frame_map` is
+        the evaluator's dedup contract (InferenceEngine.dedup_frames):
+        `images` holds only unique frames, the map scatters them back."""
+        temperature = self.temperature if temperature is None else temperature
+        top_p = self.top_p if top_p is None else top_p
         if self.idle() and self.pos > 0:
             # every plane is dead — reclaim the whole cursor range
             self.pos = 0
@@ -278,10 +310,11 @@ class ContinuousEngine:
         self.cache, last_hidden, key0 = _join_jit(
             self.params, self.cache, self.cfg, jnp.asarray(input_ids),
             jnp.asarray(images), row, at, row_key,
+            None if frame_map is None else jnp.asarray(frame_map),
             s1=s1, attn_impl=self.attn_impl, kv_quant=self.kv_quant)
         token, waypoint = _first_token_row(
             self.params, self.cfg, last_hidden, key0,
-            temperature=self.temperature, top_p=self.top_p)
+            jnp.float32(temperature), jnp.float32(top_p))
 
         # bookkeeping: cursor jumps past the prompt bucket for everyone;
         # only the joiner's mask covers the prompt span
@@ -292,6 +325,8 @@ class ContinuousEngine:
             self.cache, index=jnp.asarray(self.pos, jnp.int32))
         self.starts = _set_row(self.starts, row, jnp.asarray(at + s1 - t_out))
         self.steps = _set_row(self.steps, row, jnp.asarray(1))
+        self.temps = _set_row(self.temps, row, jnp.asarray(temperature))
+        self.top_ps = _set_row(self.top_ps, row, jnp.asarray(top_p))
         self.row_keys = self.row_keys.at[row].set(row_key)
         self.cur_token = _set_row(self.cur_token, row, token)
         self.cur_waypoint = jax.lax.dynamic_update_index_in_dim(
@@ -319,9 +354,8 @@ class ContinuousEngine:
          self.steps, tokens, wps, hands) = _chunk_jit(
             self.params, self.cache, jnp.asarray(self.mask), self.starts,
             self.steps, self.row_keys, self.cur_token, self.cur_waypoint,
-            self.finished, self.cfg,
-            k=self.chunk, temperature=self.temperature, top_p=self.top_p,
-            attn_impl=self.attn_impl, eos_token_id=self.eos)
+            self.finished, self.temps, self.top_ps, self.cfg,
+            k=self.chunk, attn_impl=self.attn_impl, eos_token_id=self.eos)
         self.pos += self.chunk
         tokens = np.asarray(jax.device_get(tokens))
         wps = np.asarray(jax.device_get(wps))
@@ -341,6 +375,19 @@ class ContinuousEngine:
                 if tok == self.eos:
                     slot.done = True
             if slot.done or len(slot.tokens) >= slot.max_new:
+                done.append((r, self._finalize(slot)))
+                self.slots[r] = _Slot()
+        return done
+
+    def drain(self):
+        """Finalize every busy slot with what it has (host-side only; no
+        device work). Used when the shared cursor is about to exhaust while
+        rows are still live — their generations come back truncated. Proper
+        capacity planning (`max_len` >= slots * prompt bucket + decode
+        budget) makes this a last resort, not a steady state."""
+        done = []
+        for r, slot in enumerate(self.slots):
+            if slot.busy:
                 done.append((r, self._finalize(slot)))
                 self.slots[r] = _Slot()
         return done

@@ -52,12 +52,15 @@ class ModelWorker:
         lora_resident: int = 4,
         spec_k: int = 0,
         kv_quant=None,
+        continuous_slots: int = 0,
+        continuous_max_len: int = 4096,
     ):
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.model_name = model_name or model_path.rstrip("/").split("/")[-1]
         # batching needs enough concurrent requests in flight to co-schedule
-        self.semaphore = threading.Semaphore(max(limit_concurrency, max_batch))
+        self.semaphore = threading.Semaphore(
+            max(limit_concurrency, max_batch, continuous_slots))
         self.queue_length = 0
         self.lock = threading.Lock()
         self._stop = threading.Event()
@@ -65,6 +68,7 @@ class ModelWorker:
         self._load_args = (
             model_path, preset, quantize, max_batch, batch_wait_ms,
             lora_dir, lora_resident, spec_k, kv_quant,
+            continuous_slots, continuous_max_len,
         )
         if not defer_load:
             self.load()
@@ -75,7 +79,8 @@ class ModelWorker:
         distinguish "loading" from "dead" during the minutes-long model load
         (ROADMAP round-1 item; the reference worker binds only after load)."""
         (model_path, preset, quantize, max_batch, batch_wait_ms,
-         lora_dir, lora_resident, spec_k, kv_quant) = self._load_args
+         lora_dir, lora_resident, spec_k, kv_quant,
+         continuous_slots, continuous_max_len) = self._load_args
 
         from handsonvlm_tpu.eval.evaluator import InferenceEngine
         from handsonvlm_tpu.infer.builder import load_pretrained_model
@@ -110,6 +115,21 @@ class ModelWorker:
                 )
             self.batcher = DynamicBatcher(
                 self.engine, max_batch=max_batch, max_wait_ms=batch_wait_ms
+            )
+        self.scheduler = None
+        if continuous_slots > 0:
+            from handsonvlm_tpu.serve.scheduler import ContinuousScheduler
+
+            # same 16 GB caveat as dynamic batching: slots>1 decode at 7B+
+            # bf16 triggers XLA layout copies — quantized weights recommended
+            if quantize is None and cfg.llama.hidden_size >= 4096:
+                print(
+                    "warning: continuous batching with bf16 weights at 7B+ "
+                    "can OOM a 16 GB chip (XLA layout copies); prefer --int8"
+                )
+            self.scheduler = ContinuousScheduler(
+                params, cfg, slots=continuous_slots,
+                max_len=continuous_max_len, kv_quant=kv_quant,
             )
 
         self.ready = True
@@ -176,8 +196,10 @@ class ModelWorker:
 
     def stop(self):
         self._stop.set()
-        if self.batcher is not None:
+        if getattr(self, "batcher", None) is not None:
             self.batcher.stop()
+        if getattr(self, "scheduler", None) is not None:
+            self.scheduler.stop()
 
     def _frames(self, payload: dict) -> np.ndarray:
         if payload.get("image_b64"):
@@ -198,6 +220,30 @@ class ModelWorker:
         self.engine.top_p = float(payload.get("top_p", 0.9))
         self.engine.max_new_tokens = int(payload.get("max_new_tokens", 100))
 
+    def _generate_continuous(self, payload: dict, frames, on_tokens=None):
+        """Submit one request to the continuous-batching scheduler and wait.
+        Returns (pred, valid, gen_ids) shaped like InferenceEngine.infer."""
+        from handsonvlm_tpu.eval.evaluator import InferenceEngine
+        from handsonvlm_tpu.infer.sampler import clip_pred_hands
+
+        ids = self.engine.build_prompt_ids(
+            payload["prompt"],
+            history=[tuple(t) for t in payload.get("history", [])],
+        )
+        images, frame_map = InferenceEngine.dedup_frames(frames[None])
+        out = self.scheduler.submit(
+            ids, images, seed=self._seed,
+            max_new=int(payload.get("max_new_tokens", 100)),
+            temperature=float(payload.get("temperature", 0.5)),
+            top_p=float(payload.get("top_p", 0.9)),
+            frame_map=frame_map, on_tokens=on_tokens,
+        )
+        pred, valid = clip_pred_hands(
+            np.asarray(out.pred_hands), np.asarray(out.num_hands)
+        )
+        n = int(out.num_tokens[0])
+        return pred, valid, np.asarray(out.sequences[0, :n])
+
     def generate(self, payload: dict) -> dict:
         import jax
 
@@ -209,7 +255,11 @@ class ModelWorker:
             self._apply_options(payload)
             self._seed += 1
             params, lora_name = self._request_params(payload)
-            if self.batcher is not None:
+            if self.scheduler is not None and lora_name is None:
+                # shared decode batch; LoRA-qualified requests fall through
+                # to the solo path (the scheduler's engine holds base params)
+                pred, valid, gen_ids = self._generate_continuous(payload, frames)
+            elif self.batcher is not None:
                 pred_row, valid_row, gen_ids = self.batcher.submit(
                     payload["prompt"], frames, self._seed,
                     lora=lora_name, params=params,
@@ -259,7 +309,39 @@ class ModelWorker:
             frames = self._frames(payload)
             self._apply_options(payload)
             self._seed += 1
-            req_params, _ = self._request_params(payload)
+            req_params, lora_name = self._request_params(payload)
+            if self.scheduler is not None and lora_name is None:
+                # continuous batching: chunk-boundary streaming (tokens
+                # arrive in bursts of <= chunk per dispatch)
+                q: queue_mod.Queue = queue_mod.Queue()
+                decode = self.engine.tokenizer.decode
+                pieces = []
+
+                def on_tokens(tok_ids):
+                    pieces.extend(int(t) for t in tok_ids)
+                    q.put({"text": decode(pieces), "error_code": 0})
+
+                def run_cont():
+                    try:
+                        pred, valid, _gen = self._generate_continuous(
+                            payload, frames, on_tokens=on_tokens)
+                        q.put({
+                            "text": decode(pieces),
+                            "pred_hands": pred.tolist(),
+                            "trajectory_valid": bool(valid[0]),
+                            "error_code": 0,
+                            "finish": True,
+                        })
+                    except Exception as e:  # noqa: BLE001
+                        q.put({"error": str(e), "error_code": 1, "finish": True})
+                    q.put(None)
+
+                threading.Thread(target=run_cont, daemon=True).start()
+                while True:
+                    item = q.get()
+                    if item is None:
+                        return
+                    yield item
             ids = self.engine.build_prompt_ids(
                 payload["prompt"],
                 history=[tuple(t) for t in payload.get("history", [])],
@@ -436,6 +518,15 @@ def main():
     p.add_argument("--spec", type=int, default=0, metavar="K",
                    help="speculative decode for unbatched requests "
                         "(K-token drafts; infer/speculative.py)")
+    p.add_argument("--continuous", type=int, default=0, metavar="SLOTS",
+                   help=">0 enables continuous batching: SLOTS requests "
+                        "share one decode batch, joining/leaving at chunk "
+                        "boundaries (serve/continuous.py); takes precedence "
+                        "over --max-batch for non-LoRA requests")
+    p.add_argument("--continuous-max-len", type=int, default=4096,
+                   help="shared-cache length budget for --continuous "
+                        "(prompt buckets + decode chunks of every "
+                        "concurrently admitted request)")
     args = p.parse_args()
     addr = args.worker_address or f"http://localhost:{args.port}"
     worker = ModelWorker(
@@ -447,6 +538,8 @@ def main():
         lora_dir=args.lora_dir, lora_resident=args.lora_resident,
         spec_k=args.spec,
         kv_quant="int8" if args.kv_int8 else None,
+        continuous_slots=args.continuous,
+        continuous_max_len=args.continuous_max_len,
     )
     # bind + serve /healthz immediately; generate endpoints 503 until loaded
     server = serve_worker(worker, args.host, args.port)

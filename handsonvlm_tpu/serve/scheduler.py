@@ -1,0 +1,192 @@
+"""Continuous-batching scheduler: bridges concurrent request threads to the
+single-threaded ContinuousEngine (serve/continuous.py).
+
+Why a dedicated loop thread: the engine owns ONE persistent device cache, and
+`join`/`step` are device-mutating ops over donated buffers — they must be
+issued from one thread in program order. Request threads only enqueue a
+ticket and wait on its event; the loop thread admits pending tickets at
+chunk boundaries (the engine's contract) and steps the shared batch.
+
+Reference counterpart: `llava/serve/model_worker.py:36-282` serves one
+generate per semaphore slot (decode convoys: a long generation blocks the
+worker). `serve/batcher.py` (round 2) coalesces requests at PREFILL — all
+rows must enter and leave together. This scheduler instead shares the
+DECODE batch: a joining request prefills alone (B=1) but decodes alongside
+whatever else is live, so short and long generations overlap and a request
+finishing frees its slot for the next one mid-flight.
+
+Streaming: `submit(on_tokens=...)` delivers each request's newly decoded
+token ids at every chunk boundary (the continuous analogue of the host
+loop's per-token `on_token` hook in `infer/sampler.generate_host`).
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import threading
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from handsonvlm_tpu.infer.sampler import EOS_TOKEN_ID, SampleOutput
+from handsonvlm_tpu.serve.continuous import ContinuousEngine
+
+
+@dataclasses.dataclass
+class _Ticket:
+    ids: np.ndarray
+    images: np.ndarray
+    seed: int
+    max_new: int
+    temperature: Optional[float]
+    top_p: Optional[float]
+    frame_map: Optional[np.ndarray]
+    on_tokens: Optional[Callable[[List[int]], None]]
+    event: threading.Event = dataclasses.field(default_factory=threading.Event)
+    output: Optional[SampleOutput] = None
+    error: Optional[str] = None
+    sent: int = 0  # tokens already streamed through on_tokens
+
+
+class ContinuousScheduler:
+    """Thread-safe front door for the continuous-batching engine.
+
+    `submit()` blocks the calling thread until its request completes and
+    returns the request's SampleOutput, exactly as if it had run solo
+    (the engine's composition-independence contract,
+    tests/test_continuous.py)."""
+
+    def __init__(self, params, cfg, *, slots: int = 4, max_len: int = 4096,
+                 chunk: int = 8, temperature: float = 0.5,
+                 top_p: float = 0.9, attn_impl: str = "auto",
+                 kv_quant: Optional[str] = None,
+                 eos_token_id: int = EOS_TOKEN_ID):
+        self.engine = ContinuousEngine(
+            params, cfg, slots=slots, max_len=max_len, chunk=chunk,
+            temperature=temperature, top_p=top_p, attn_impl=attn_impl,
+            kv_quant=kv_quant, eos_token_id=eos_token_id)
+        self._pending: collections.deque = collections.deque()
+        self._live: dict = {}  # row -> ticket
+        self._cv = threading.Condition()
+        self._stopped = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # -- request side --------------------------------------------------------
+
+    def submit(self, input_ids, images, *, seed: int, max_new: int,
+               temperature: Optional[float] = None,
+               top_p: Optional[float] = None, frame_map=None,
+               on_tokens: Optional[Callable[[List[int]], None]] = None,
+               timeout: Optional[float] = None) -> SampleOutput:
+        t = _Ticket(np.asarray(input_ids), np.asarray(images), seed, max_new,
+                    temperature, top_p, frame_map, on_tokens)
+        with self._cv:
+            if self._stopped:
+                raise RuntimeError("scheduler stopped")
+            self._pending.append(t)
+            self._cv.notify()
+        if not t.event.wait(timeout):
+            raise TimeoutError("continuous generate timed out")
+        if t.error is not None:
+            raise RuntimeError(t.error)
+        return t.output
+
+    def stop(self):
+        with self._cv:
+            self._stopped = True
+            self._cv.notify()
+        self._thread.join(timeout=30)
+
+    # -- loop side (single thread owns the engine) ---------------------------
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while (not self._stopped and not self._pending
+                       and not self._live):
+                    self._cv.wait()
+                if self._stopped:
+                    for t in self._pending:
+                        t.error = "scheduler stopped"
+                        t.event.set()
+                    self._pending.clear()
+                    for t in self._live.values():
+                        t.error = "scheduler stopped"
+                        t.event.set()
+                    self._live.clear()
+                    return
+            self._admit()
+            if self._live:
+                self._step_once()
+
+    def _admit(self):
+        """Move pending tickets into free engine slots (chunk boundary)."""
+        eng = self.engine
+        while True:
+            with self._cv:
+                if not self._pending:
+                    return
+                head = self._pending[0]
+                plen = head.ids.shape[1]
+                if not eng.can_admit(plen):
+                    # a prompt too big to EVER fit must be failed, not queued
+                    # forever: when the engine is empty can_admit is maximal
+                    if eng.idle() and not self._live:
+                        self._pending.popleft()
+                        head.error = (
+                            f"prompt ({plen} tokens) exceeds engine capacity "
+                            f"(max_len={eng.s})")
+                        head.event.set()
+                        continue
+                    return  # wait for live requests to finish / free space
+                self._pending.popleft()
+            try:
+                row = eng.join(head.ids, head.images, seed=head.seed,
+                               max_new=head.max_new,
+                               temperature=head.temperature,
+                               top_p=head.top_p, frame_map=head.frame_map)
+            except Exception as e:  # noqa: BLE001 — surface to the client
+                head.error = str(e)
+                head.event.set()
+                continue
+            self._live[row] = head
+            self._stream(row, head)
+            # first token may already be EOS / max_new==1
+            slot = eng.slots[row]
+            if slot.done or len(slot.tokens) >= slot.max_new:
+                out = eng._finalize(slot)
+                eng.slots[row] = type(slot)()
+                self._finish(row, out)
+
+    def _step_once(self):
+        eng = self.engine
+        if eng.pos + eng.chunk > eng.s:
+            # shared cursor exhausted with rows still live: truncate them
+            # honestly rather than deadlock (see ContinuousEngine.drain)
+            done = eng.drain()
+        else:
+            done = eng.step()
+        for row, out in done:
+            self._finish(row, out)
+        for row, t in list(self._live.items()):
+            self._stream(row, t)
+
+    def _stream(self, row, t: _Ticket):
+        if t.on_tokens is None:
+            return
+        slot = self.engine.slots[row]
+        if slot.busy and len(slot.tokens) > t.sent:
+            t.on_tokens(list(slot.tokens[t.sent:]))
+            t.sent = len(slot.tokens)
+
+    def _finish(self, row, out: SampleOutput):
+        t = self._live.pop(row)
+        if t.on_tokens is not None:
+            n = int(out.num_tokens[0])
+            if n > t.sent:
+                t.on_tokens([int(x) for x in out.sequences[0, t.sent:n]])
+                t.sent = n
+        t.output = out
+        t.event.set()
