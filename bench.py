@@ -286,6 +286,118 @@ def run_single():
     print(json.dumps(result))
 
 
+def run_serve_single():
+    """Continuous-batching serving throughput (serve/scheduler.py): R burst
+    requests share one decode batch over S slots (int4 weights + int8 KV —
+    the only combination whose slot cache fits a 16 GB chip at useful
+    lengths). Aggregate tok/s including prefill + CLIP encode. The
+    comparable solo number is the `kv8` mode (same weights/cache, one
+    request at a time)."""
+    t_start = time.time()
+    preset = os.environ.get("HANDSONVLM_BENCH_PRESET", "7b")
+
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        cache_dir = os.environ.get(
+            "HANDSONVLM_JAX_CACHE", os.path.expanduser("~/.cache/handsonvlm_jax")
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+    from handsonvlm_tpu.data.mock_tokenizer import MockTokenizer
+    from handsonvlm_tpu.models.clip_vit import init_clip_vision
+    from handsonvlm_tpu.models.projector import init_projector
+    from handsonvlm_tpu.models.traj_cvae import init_traj_decoder
+    from handsonvlm_tpu.ops.int8_matmul import init_llama_int4
+    from handsonvlm_tpu.serve.scheduler import ContinuousScheduler
+
+    cfg = _build_config(preset)
+    platform = jax.devices()[0].platform
+    # 13B's (L=40, H=40) slot cache is ~1.6 GB/1k positions int8 beside
+    # 6.8 GB of int4 weights — shorter budget, half the burst
+    slots = int(os.environ.get("HANDSONVLM_BENCH_SLOTS", "4"))
+    n_req = int(os.environ.get(
+        "HANDSONVLM_BENCH_REQS", "8" if preset == "7b" else "4"))
+    max_len = int(os.environ.get(
+        "HANDSONVLM_BENCH_SERVE_LEN", "6144" if preset == "7b" else "4096"))
+    chunk = int(os.environ.get("HANDSONVLM_BENCH_SERVE_CHUNK", "16"))
+    max_new = int(os.environ.get("HANDSONVLM_BENCH_NEW_TOKENS", "64"))
+
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 4)
+    dtype = cfg.pdtype
+    params = {
+        "llama": init_llama_int4(k1, cfg.llama, dtype),
+        "vision": jax.jit(lambda k: init_clip_vision(k, cfg.vision, dtype))(k2),
+        "projector": jax.jit(
+            lambda k: init_projector(k, cfg.mm_hidden_size, cfg.llama.hidden_size, dtype)
+        )(k3),
+        "traj": jax.jit(
+            lambda k: init_traj_decoder(k, cfg.traj, cfg.llama.hidden_size // 2, dtype)
+        )(k4),
+    }
+    jax.block_until_ready(params)
+    jax.clear_caches()
+
+    tok = MockTokenizer()
+    ids = np.asarray(_eval_prompt(tok, cfg))[None, :]
+    rng = np.random.default_rng(0)
+    n_unique = min(10, cfg.num_frames)
+    reps = cfg.num_frames // n_unique
+    uframes = rng.normal(
+        size=(1, n_unique, 3, cfg.vision.image_size, cfg.vision.image_size)
+    )
+    images_unique = jnp.asarray(uframes, cfg.cdtype)
+    frame_map = jnp.asarray(np.tile(np.arange(n_unique, dtype=np.int32), reps))
+
+    sched = ContinuousScheduler(
+        params, cfg, slots=slots, max_len=max_len, chunk=chunk,
+        temperature=0.5, top_p=0.9, kv_quant="int8")
+
+    import threading
+
+    def burst(seed0):
+        results = {}
+
+        def one(i):
+            out = sched.submit(
+                jnp.asarray(ids), images_unique, seed=seed0 + i,
+                max_new=max_new, frame_map=frame_map, timeout=3600)
+            results[i] = int(out.num_tokens[0])
+
+        t0 = time.perf_counter()
+        threads = [threading.Thread(target=one, args=(i,)) for i in range(n_req)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        return sum(results.values()), time.perf_counter() - t0
+
+    burst(1000)  # compile + warmup
+    n_iters = 3
+    total_tokens = 0
+    total_dt = 0.0
+    for i in range(1, n_iters + 1):
+        n, dt = burst(i * 100)
+        total_tokens += n
+        total_dt += dt
+    sched.stop()
+
+    print(json.dumps({
+        "metric": f"serve_cont_tokens_per_sec_{preset}_int4_kv8",
+        "value": round(total_tokens / total_dt, 3),
+        "unit": "tokens/s/chip",
+        "slots": slots, "burst_requests": n_req, "chunk": chunk,
+        "max_len": max_len, "new_tokens": max_new,
+        "platform": platform,
+        "wall_s": round(time.time() - t_start, 1),
+    }))
+
+
 MODE_ENV = {
     # mode name -> env overrides for the child process
     "spec": {"HANDSONVLM_BENCH_QUANT": "int4", "HANDSONVLM_BENCH_SPEC": "4"},
@@ -300,6 +412,8 @@ MODE_ENV = {
     "int8": {"HANDSONVLM_BENCH_QUANT": "int8", "HANDSONVLM_BENCH_SPEC": "0"},
     "bf16": {"HANDSONVLM_BENCH_QUANT": "", "HANDSONVLM_BENCH_SPEC": "0"},
     "train": {"HANDSONVLM_BENCH_TRAIN": "1"},
+    # continuous-batching serving (round 3): S slots share one decode batch
+    "serve_cont": {"HANDSONVLM_BENCH_SERVE": "1"},
 }
 
 
@@ -493,6 +607,8 @@ def main():
         # smoke/graft presets and mode children stay single-process
         if os.environ.get("HANDSONVLM_BENCH_TRAIN", "0") == "1":
             run_train_single()
+        elif os.environ.get("HANDSONVLM_BENCH_SERVE", "0") == "1":
+            run_serve_single()
         else:
             run_single()
         return
@@ -502,7 +618,7 @@ def main():
         m.strip()
         for m in os.environ.get(
             "HANDSONVLM_BENCH_MODES",
-            "seq,spec,spec_greedy,kv8,spec_kv8,int8,bf16,train"
+            "seq,spec,spec_greedy,kv8,spec_kv8,int8,bf16,train,serve_cont"
         ).split(",")
         if m.strip() in MODE_ENV
     ] or ["spec"]

@@ -167,9 +167,11 @@ def _chunk_jit(params, cache, cache_mask, starts, steps, row_keys,
         h = hidden[:, 0, :]
         logits = lm_logits(params["llama"], cfg.llama, h[:, None, :])[:, 0]
         ntok = _row_sample(r_tok, logits, temps, top_ps)
+        # f32: the carry/accumulator dtype must not follow the param dtype
+        # (bf16 at 7B) or the fori carry types mismatch
         nwp = jax.vmap(
             lambda key, hr: decode_hand_waypoint(params, cfg, hr[None], key)[0]
-        )(r_hand, h)
+        )(r_hand, h).astype(jnp.float32)
         ntok = jnp.where(fin, PAD_TOKEN_ID, ntok)
         tokens = tokens.at[:, i].set(ntok)
         wps = wps.at[:, i].set(nwp)

@@ -230,9 +230,11 @@ class ModelWorker:
             payload["prompt"],
             history=[tuple(t) for t in payload.get("history", [])],
         )
+        import jax.numpy as jnp
+
         images, frame_map = InferenceEngine.dedup_frames(frames[None])
         out = self.scheduler.submit(
-            ids, images, seed=self._seed,
+            ids, jnp.asarray(images, self.cfg.cdtype), seed=self._seed,
             max_new=int(payload.get("max_new_tokens", 100)),
             temperature=float(payload.get("temperature", 0.5)),
             top_p=float(payload.get("top_p", 0.9)),

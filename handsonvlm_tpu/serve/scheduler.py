@@ -36,7 +36,7 @@ from handsonvlm_tpu.serve.continuous import ContinuousEngine
 @dataclasses.dataclass
 class _Ticket:
     ids: np.ndarray
-    images: np.ndarray
+    images: object  # np or device array — passed through untouched
     seed: int
     max_new: int
     temperature: Optional[float]
@@ -80,7 +80,9 @@ class ContinuousScheduler:
                top_p: Optional[float] = None, frame_map=None,
                on_tokens: Optional[Callable[[List[int]], None]] = None,
                timeout: Optional[float] = None) -> SampleOutput:
-        t = _Ticket(np.asarray(input_ids), np.asarray(images), seed, max_new,
+        # ids stay host-side (shape checks); images pass through untouched —
+        # an np.asarray here would round-trip a device array over the tunnel
+        t = _Ticket(np.asarray(input_ids), images, seed, max_new,
                     temperature, top_p, frame_map, on_tokens)
         with self._cv:
             if self._stopped:
@@ -117,9 +119,24 @@ class ContinuousScheduler:
                         t.event.set()
                     self._live.clear()
                     return
-            self._admit()
-            if self._live:
-                self._step_once()
+            try:
+                self._admit()
+                if self._live:
+                    self._step_once()
+            except Exception as e:  # noqa: BLE001 — a dead loop thread would
+                # strand every submitter; fail them loudly instead
+                msg = f"scheduler loop error: {type(e).__name__}: {e}"
+                with self._cv:
+                    self._stopped = True
+                    for t in self._pending:
+                        t.error = msg
+                        t.event.set()
+                    self._pending.clear()
+                for t in self._live.values():
+                    t.error = msg
+                    t.event.set()
+                self._live.clear()
+                raise
 
     def _admit(self):
         """Move pending tickets into free engine slots (chunk boundary)."""

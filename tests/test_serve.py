@@ -329,7 +329,7 @@ def test_lora_hot_swap(tmp_path):
         model_name="tiny", max_batch=4, batch_wait_ms=150.0, defer_load=True,
     )
     # adapters need the loaded cfg — load the base first, then the dir
-    worker._load_args = worker._load_args[:5] + (None, 4, 0, None)
+    worker._load_args = worker._load_args[:5] + (None, 4, 0, None) + worker._load_args[9:]
     worker.load()
     cfg = worker.cfg
     _make_adapter_dir(tmp_path, cfg, "styleA", seed=7)
@@ -438,7 +438,7 @@ def test_worker_spec_with_lora(tmp_path):
         None, "http://127.0.0.1:0", "random:tiny", preset="tiny",
         model_name="tiny", spec_k=2, defer_load=True,
     )
-    worker._load_args = worker._load_args[:5] + (None, 4, 2, None)
+    worker._load_args = worker._load_args[:5] + (None, 4, 2, None) + worker._load_args[9:]
     worker.load()
     _make_adapter_dir(tmp_path, worker.cfg, "styleA", seed=11)
     worker.lora = LoraRegistry(str(tmp_path))

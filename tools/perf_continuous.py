@@ -52,7 +52,7 @@ def main():
     max_len = int(os.environ.get("HANDSONVLM_MAXLEN", "6144"))
     rounds = int(os.environ.get("HANDSONVLM_ROUNDS", "2"))
     quant = os.environ.get("HANDSONVLM_QUANT", "int4")
-    max_new = 64
+    max_new = int(os.environ.get("HANDSONVLM_MAXNEW", "64"))
     cfg = get_config(os.environ.get("HANDSONVLM_PRESET", "7b"))
 
     init_q = init_llama_int4 if quant == "int4" else init_llama_int8
