@@ -112,7 +112,7 @@ def _decode_kernel(
 
 
 def _decode_stacked_kernel(
-    s_ref,  # scalar prefetch (2,) int32: [layer_idx, length]
+    s_ref,  # scalar prefetch (2+B,) int32: [layer_idx, length, *row_starts]
     q_ref,  # (1, T, H, D); T=1 for plain decode, small T for spec verify
     k_ref,  # (1, 1, block_k, K, D) — block of the FULL (L,B,S,K,D) cache
     v_ref,
@@ -150,7 +150,14 @@ def _decode_stacked_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
 
     length = s_ref[1]
-    run = ki * block_k < length
+    # per-row block offset: this row's sweep starts at its first valid key's
+    # block (continuous batching: other rows' prompt buckets are masked
+    # holes before it; left-padded batched decode: the pad prefix), so the
+    # leading blocks are never DMA'd. vk is the VIRTUAL block index — the
+    # index_map clamps the actual DMA to the last valid block, and vk>last
+    # steps (run False) skip compute, so position math must use vk, not ki.
+    vk = s_ref[2 + pl.program_id(0)] // block_k + ki
+    run = vk * block_k < length
 
     @pl.when(run)
     def _compute():
@@ -172,7 +179,7 @@ def _decode_stacked_kernel(
             s = s * ks_ref[0, 0][:, None, :]  # dequantize k on score rows
         s = s * scale
 
-        pos = ki * block_k + jax.lax.broadcasted_iota(
+        pos = vk * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (kh, rows, block_k), 2)
         ok = pos < length
         if tw > 1:
@@ -258,28 +265,42 @@ def _stacked_call(q, ck, cv, layer_idx, length, key_mask, block_k,
 
     block_k = _pick_stacked_block(sx, min(block_k, sx))
     nk = _cdiv(sx, block_k)
+    length_s = jnp.asarray(length, jnp.int32).reshape(())
     if key_mask is None:
         key_mask = jnp.ones((b, sx), bool)
+        starts = jnp.zeros((b,), jnp.int32)
+    else:
+        # per-row first valid key: each row's block sweep starts there, so
+        # masked HOLES before it (continuous batching: other rows' prompt
+        # buckets; batched decode: left padding) are never DMA'd. A row
+        # with no valid keys at all (idle continuous slot) starts at
+        # `length` — its whole sweep is skipped.
+        starts = jnp.where(
+            key_mask.any(axis=1),
+            jnp.argmax(key_mask, axis=1).astype(jnp.int32),
+            length_s,
+        )
     mask = key_mask.astype(jnp.int32)[:, None, :]
 
-    scalars = jnp.stack(
-        [jnp.asarray(layer_idx, jnp.int32).reshape(()),
-         jnp.asarray(length, jnp.int32).reshape(())]
-    )
+    scalars = jnp.concatenate([
+        jnp.stack([jnp.asarray(layer_idx, jnp.int32).reshape(()), length_s]),
+        starts,
+    ])
 
-    def _kblock(ki, sref):
-        # clamp: steps past the filled cache revisit the last valid block
-        # (no new DMA) and are skipped by the in-kernel predicate
+    def _kblock(b_, ki, sref):
+        # clamp: steps whose virtual block (row start block + ki) passes the
+        # filled cache revisit the last valid block (no new DMA) and are
+        # skipped by the in-kernel predicate
         last = (sref[1] - 1) // block_k
-        return jnp.minimum(ki, last)
+        return jnp.minimum(sref[2 + b_] // block_k + ki, last)
 
     cache_spec = pl.BlockSpec(
         (1, 1, block_k, kh, d),
-        lambda b_, ki, sref: (sref[0], b_, _kblock(ki, sref), 0, 0),
+        lambda b_, ki, sref: (sref[0], b_, _kblock(b_, ki, sref), 0, 0),
     )
     scale_spec = pl.BlockSpec(
         (1, 1, kh, block_k),
-        lambda b_, ki, sref: (sref[0], b_, 0, _kblock(ki, sref)),
+        lambda b_, ki, sref: (sref[0], b_, 0, _kblock(b_, ki, sref)),
     )
     in_specs = [
         pl.BlockSpec((1, tw, h, d), lambda b_, ki, sref: (b_, 0, 0, 0)),
@@ -291,7 +312,8 @@ def _stacked_call(q, ck, cv, layer_idx, length, key_mask, block_k,
         in_specs += [scale_spec, scale_spec]
         operands += list(scales)
     in_specs.append(
-        pl.BlockSpec((1, 1, block_k), lambda b_, ki, sref: (b_, 0, _kblock(ki, sref)))
+        pl.BlockSpec((1, 1, block_k),
+                     lambda b_, ki, sref: (b_, 0, _kblock(b_, ki, sref)))
     )
     operands.append(mask)
 

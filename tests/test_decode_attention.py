@@ -169,3 +169,49 @@ def test_stacked_window_key_mask():
             key_mask=mask_j)
         np.testing.assert_allclose(
             np.asarray(got[:, tq]), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_stacked_per_row_start_clamp():
+    """Per-row block-sweep offsets (continuous batching / left padding): a
+    row whose first valid key is deep into the cache must match the XLA
+    reference exactly, per-row heterogeneous starts must not cross-talk,
+    and an all-False row (idle continuous slot) must not poison others."""
+    from handsonvlm_tpu.ops.decode_attention import decode_attention_stacked
+
+    q, ck, cv, mask, length = _setup_stacked(b=3, seed=6)
+    m = np.array(mask)
+    m[0, :0] = True            # row 0: full prefix valid
+    m[1, :33] = False          # row 1: starts mid-cache (block-unaligned)
+    m[2, :] = False            # row 2: idle slot, nothing valid
+    m = jnp.asarray(m)
+    ref = attention_xla(
+        q, ck[1], cv[1], key_mask=m, causal=True, q_offset=length - 1)
+    got = decode_attention_stacked(q, ck, cv, 1, length, key_mask=m, block_k=16)
+    np.testing.assert_allclose(
+        np.asarray(got[:2]), np.asarray(ref[:2]), atol=2e-5, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(got[2]), 0.0)  # skipped row
+
+
+def test_stacked_quant_per_row_start_clamp():
+    """Same per-row offsets through the int8 stacked-cache kernel."""
+    from handsonvlm_tpu.models.llama import KVCache, quantize_kv_cache
+    from handsonvlm_tpu.ops.decode_attention import decode_attention_stacked_q
+
+    rng = np.random.default_rng(9)
+    L, B, S, K, D, H = 2, 2, 64, 2, 16, 4
+    length = 48
+    q = jnp.asarray(rng.normal(size=(B, 1, H, D)), jnp.float32)
+    ck = jnp.asarray(rng.normal(size=(L, B, S, K, D)), jnp.float32)
+    cv = jnp.asarray(rng.normal(size=(L, B, S, K, D)), jnp.float32)
+    qc = quantize_kv_cache(KVCache(k=ck, v=cv, index=jnp.asarray(length)))
+    m = np.zeros((B, S), bool)
+    m[0, :length] = True
+    m[1, 21:length] = True  # late start
+    m = jnp.asarray(m)
+    deq_k = qc.k.astype(jnp.float32) * jnp.moveaxis(qc.ks, -1, 2)[..., None]
+    deq_v = qc.v.astype(jnp.float32) * jnp.moveaxis(qc.vs, -1, 2)[..., None]
+    ref = attention_xla(
+        q, deq_k[1], deq_v[1], key_mask=m, causal=True, q_offset=length - 1)
+    got = decode_attention_stacked_q(
+        q, qc.k, qc.v, (qc.ks, qc.vs), 1, length, key_mask=m, block_k=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-3)
