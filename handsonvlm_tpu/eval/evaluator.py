@@ -106,37 +106,49 @@ class InferenceEngine:
         return ids, attn
 
     def infer(self, question: str, images: np.ndarray, rng: jax.Array, params=None,
-              history=()):
+              history=(), *, temperature=None, top_p=None, max_new_tokens=None):
         """question + (1,100,3,224,224) frames -> (pred (1,2,4,2), valid,
         generated ids). ``params`` overrides self.params for this call
         (serving LoRA hot-swap: serve/lora_registry.py); ``history`` adds
-        past turns for multi-turn chat."""
+        past turns for multi-turn chat. ``temperature``/``top_p``/
+        ``max_new_tokens`` override the engine defaults for THIS call only
+        (serving passes per-request options; mutating the shared engine
+        attributes would race across concurrent request threads)."""
         preds, valids, gen = self.infer_batch(
-            [question], images, rng, params=params, histories=[history]
+            [question], images, rng, params=params, histories=[history],
+            temperature=temperature, top_p=top_p, max_new_tokens=max_new_tokens,
         )
         return preds, valids, gen[0]
 
     def infer_batch(self, questions, images: np.ndarray, rng: jax.Array, params=None,
-                    histories=None):
+                    histories=None, *, temperature=None, top_p=None,
+                    max_new_tokens=None):
         """Batched decode for serving: B questions + (B,T,...) frames ->
         (pred (B,2,4,2), valid (B,), [gen_ids per row])."""
         histories = histories or [()] * len(questions)
+        temperature = self.temperature if temperature is None else temperature
+        top_p = self.top_p if top_p is None else top_p
+        max_new_tokens = (
+            self.max_new_tokens if max_new_tokens is None else max_new_tokens)
         rows = [
             self.build_prompt_ids(q, h)[0] for q, h in zip(questions, histories)
         ]
         ids, attn = self._pad_to_bucket(rows)
         images, frame_map = self.dedup_frames(np.asarray(images))
         if self.spec_k > 0 and len(rows) == 1:
-            return self._infer_spec(ids, attn, images, frame_map, rng, params)
+            return self._infer_spec(
+                ids, attn, images, frame_map, rng, params,
+                temperature=temperature, top_p=top_p,
+                max_new_tokens=max_new_tokens)
         out = generate_chunked(
             self.params if params is None else params,
             self.cfg,
             jnp.asarray(ids),
             jnp.asarray(images, self.cfg.cdtype),
             rng,
-            max_new_tokens=self.max_new_tokens,
-            temperature=self.temperature,
-            top_p=self.top_p,
+            max_new_tokens=max_new_tokens,
+            temperature=temperature,
+            top_p=top_p,
             attn_mask=attn,
             frame_map=frame_map,
             kv_quant=self.kv_quant,
@@ -149,7 +161,8 @@ class InferenceEngine:
         gen_ids = [np.asarray(seqs[i, : int(nums[i])]) for i in range(len(rows))]
         return pred, valid, gen_ids
 
-    def _infer_spec(self, ids, attn, images, frame_map, rng, params):
+    def _infer_spec(self, ids, attn, images, frame_map, rng, params, *,
+                    temperature=None, top_p=None, max_new_tokens=None):
         """B=1 latency path: speculative decode with a template-bank draft
         (infer/speculative.py; distribution-exact, so eval metrics keep
         their sampling semantics)."""
@@ -158,13 +171,17 @@ class InferenceEngine:
             generate_spec,
         )
 
+        temperature = self.temperature if temperature is None else temperature
+        top_p = self.top_p if top_p is None else top_p
+        max_new_tokens = (
+            self.max_new_tokens if max_new_tokens is None else max_new_tokens)
         if not hasattr(self, "_spec_bank"):
             self._spec_bank = build_template_bank(self.tokenizer, self.cfg)
         out, _stats = generate_spec(
             self.params if params is None else params,
             self.cfg, ids, jnp.asarray(images, self.cfg.cdtype), rng,
-            max_new_tokens=self.max_new_tokens, k=self.spec_k,
-            temperature=self.temperature, top_p=self.top_p,
+            max_new_tokens=max_new_tokens, k=self.spec_k,
+            temperature=temperature, top_p=top_p,
             attn_mask=attn, frame_map=frame_map, bank_ids=self._spec_bank,
             kv_quant=self.kv_quant,
         )

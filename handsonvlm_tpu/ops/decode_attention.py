@@ -92,7 +92,9 @@ def _decode_kernel(
 
         m_prev = m_ref[:]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)  # (H, bk)
+        # masked probs zeroed explicitly: a fully-masked block would
+        # otherwise add p = exp(NEG_INF - NEG_INF) = 1 per key
+        p = jnp.where(ok, jnp.exp(s - m_new), 0.0)  # (H, bk)
         corr = jnp.exp(m_prev - m_new)
         l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=1, keepdims=True)
         vg = jnp.transpose(v, (1, 0, 2))  # (K, bk, D)
@@ -112,7 +114,8 @@ def _decode_kernel(
 
 
 def _decode_stacked_kernel(
-    s_ref,  # scalar prefetch (2+B,) int32: [layer_idx, length, *row_starts]
+    s_ref,  # scalar prefetch (2+B+B*nk,) int32:
+    #         [layer_idx, length, counts(B), block_table(B*nk)]
     q_ref,  # (1, T, H, D); T=1 for plain decode, small T for spec verify
     k_ref,  # (1, 1, block_k, K, D) — block of the FULL (L,B,S,K,D) cache
     v_ref,
@@ -120,6 +123,8 @@ def _decode_stacked_kernel(
     scale: float,
     block_k: int,
     groups: int,
+    batch: int,
+    nk: int,
     t_window: int = 1,
     quant: bool = False,
 ):
@@ -150,14 +155,19 @@ def _decode_stacked_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
 
     length = s_ref[1]
-    # per-row block offset: this row's sweep starts at its first valid key's
-    # block (continuous batching: other rows' prompt buckets are masked
-    # holes before it; left-padded batched decode: the pad prefix), so the
-    # leading blocks are never DMA'd. vk is the VIRTUAL block index — the
-    # index_map clamps the actual DMA to the last valid block, and vk>last
-    # steps (run False) skip compute, so position math must use vk, not ki.
-    vk = s_ref[2 + pl.program_id(0)] // block_k + ki
-    run = vk * block_k < length
+    # per-row COMPACTED block sweep: the scalar-prefetched table lists, for
+    # each row, the indices of cache blocks holding >=1 valid key (leading
+    # pad, interior holes — other requests' prompt buckets in continuous
+    # batching — and the unfilled tail all excluded), padded by repeating
+    # the last valid entry (repeat = no new DMA). DMA therefore tracks the
+    # row's VALID bytes, not the swept allocation, under any fragmentation.
+    # Steps at ki >= count (and every step of an idle all-masked row,
+    # count == 0) skip compute; position math uses the mapped block index
+    # vk, never ki.
+    bi = pl.program_id(0)
+    count = s_ref[2 + bi]
+    vk = s_ref[2 + batch + bi * nk + ki]
+    run = ki < count
 
     @pl.when(run)
     def _compute():
@@ -194,9 +204,13 @@ def _decode_stacked_kernel(
         s = jnp.where(ok, s, NEG_INF)
 
         s2 = s.reshape(kh * rows, block_k)
+        ok2 = ok.reshape(kh * rows, block_k)
         m_prev = m_ref[:]
         m_new = jnp.maximum(m_prev, jnp.max(s2, axis=1, keepdims=True))
-        p = jnp.exp(s2 - m_new)
+        # zero masked probs explicitly: a fully-masked block (all s == NEG_INF
+        # == m_new) would otherwise yield p = exp(0) = 1 per key and emit the
+        # v-block mean for rows with no valid keys in this block
+        p = jnp.where(ok2, jnp.exp(s2 - m_new), 0.0)
         corr = jnp.exp(m_prev - m_new)
         l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=1, keepdims=True)
         vg = jnp.transpose(v, (1, 0, 2))
@@ -268,31 +282,34 @@ def _stacked_call(q, ck, cv, layer_idx, length, key_mask, block_k,
     length_s = jnp.asarray(length, jnp.int32).reshape(())
     if key_mask is None:
         key_mask = jnp.ones((b, sx), bool)
-        starts = jnp.zeros((b,), jnp.int32)
-    else:
-        # per-row first valid key: each row's block sweep starts there, so
-        # masked HOLES before it (continuous batching: other rows' prompt
-        # buckets; batched decode: left padding) are never DMA'd. A row
-        # with no valid keys at all (idle continuous slot) starts at
-        # `length` — its whole sweep is skipped.
-        starts = jnp.where(
-            key_mask.any(axis=1),
-            jnp.argmax(key_mask, axis=1).astype(jnp.int32),
-            length_s,
-        )
     mask = key_mask.astype(jnp.int32)[:, None, :]
+
+    # Compacted per-row block table: list each row's valid blocks (>=1 valid
+    # key AND within the filled length) in order, pad by repeating the last
+    # valid entry (a repeated index is no new DMA; those steps skip compute
+    # via ki >= count). Fragmented masks — continuous batching's interleaved
+    # prompt buckets, left padding — cost DMA only for their VALID blocks.
+    pad = nk * block_k - sx
+    km = jnp.pad(key_mask, [(0, 0), (0, pad)]) if pad else key_mask
+    bvalid = km.reshape(b, nk, block_k).any(axis=-1)
+    bvalid &= (jnp.arange(nk, dtype=jnp.int32) * block_k < length_s)[None, :]
+    counts = jnp.sum(bvalid, axis=-1, dtype=jnp.int32)  # (B,)
+    order = jnp.argsort(~bvalid, axis=1).astype(jnp.int32)  # stable: valid first
+    clamp = jnp.minimum(jnp.arange(nk, dtype=jnp.int32)[None, :],
+                        jnp.maximum(counts[:, None] - 1, 0))
+    table = jnp.take_along_axis(order, clamp, axis=1)  # (B, nk)
 
     scalars = jnp.concatenate([
         jnp.stack([jnp.asarray(layer_idx, jnp.int32).reshape(()), length_s]),
-        starts,
+        counts,
+        table.reshape(-1),
     ])
 
     def _kblock(b_, ki, sref):
-        # clamp: steps whose virtual block (row start block + ki) passes the
-        # filled cache revisit the last valid block (no new DMA) and are
-        # skipped by the in-kernel predicate
-        last = (sref[1] - 1) // block_k
-        return jnp.minimum(sref[2 + b_] // block_k + ki, last)
+        # the row's ki-th valid block; steps past the row's count repeat the
+        # last valid block (no new DMA) and are skipped by the in-kernel
+        # predicate
+        return sref[2 + b + b_ * nk + ki]
 
     cache_spec = pl.BlockSpec(
         (1, 1, block_k, kh, d),
@@ -319,7 +336,7 @@ def _stacked_call(q, ck, cv, layer_idx, length, key_mask, block_k,
 
     kernel = functools.partial(
         _decode_stacked_kernel, scale=scale, block_k=block_k, groups=groups,
-        t_window=tw, quant=scales is not None,
+        batch=b, nk=nk, t_window=tw, quant=scales is not None,
     )
     out = pl.pallas_call(
         kernel,
@@ -365,9 +382,10 @@ def decode_attention_stacked(
     (tools/perf_batch_step.py; same root cause as the int4 stacked-weight
     fix in ops/int8_matmul.int4_matmul_stacked).
 
-    Blocks at ki past `length` clamp their index_map to the last valid
-    block: pallas skips the re-DMA of an unchanged block, so cost tracks
-    the *filled* cache, not the allocation.
+    Each row sweeps a COMPACTED table of its valid cache blocks (scalar
+    prefetch): blocks past `length`, fully key-masked holes (continuous
+    batching: other requests' prompt buckets), and leading pad are never
+    DMA'd — cost tracks each row's *valid* keys, not the allocation.
 
     Numerics: fp32 online softmax, identical to ops.attention (tested).
     """

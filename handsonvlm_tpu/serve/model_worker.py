@@ -215,12 +215,26 @@ class ModelWorker:
             np.float32,
         )
 
-    def _apply_options(self, payload: dict):
-        self.engine.temperature = float(payload.get("temperature", 0.5))
-        self.engine.top_p = float(payload.get("top_p", 0.9))
-        self.engine.max_new_tokens = int(payload.get("max_new_tokens", 100))
+    def _request_options(self, payload: dict):
+        """Per-request decode options as locals — NEVER mutate the shared
+        engine attributes: the semaphore admits several concurrent request
+        threads (--continuous / --batch), so a shared-attribute write could
+        leak one request's options into another in-flight request."""
+        return (
+            float(payload.get("temperature", 0.5)),
+            float(payload.get("top_p", 0.9)),
+            int(payload.get("max_new_tokens", 100)),
+        )
 
-    def _generate_continuous(self, payload: dict, frames, on_tokens=None):
+    def _next_seed(self) -> int:
+        """Atomic seed draw (read-modify-write under the lock): concurrent
+        requests must not sample with the same seed."""
+        with self.lock:
+            self._seed += 1
+            return self._seed
+
+    def _generate_continuous(self, payload: dict, frames, seed: int,
+                             on_tokens=None):
         """Submit one request to the continuous-batching scheduler and wait.
         Returns (pred, valid, gen_ids) shaped like InferenceEngine.infer."""
         from handsonvlm_tpu.eval.evaluator import InferenceEngine
@@ -234,7 +248,7 @@ class ModelWorker:
 
         images, frame_map = InferenceEngine.dedup_frames(frames[None])
         out = self.scheduler.submit(
-            ids, jnp.asarray(images, self.cfg.cdtype), seed=self._seed,
+            ids, jnp.asarray(images, self.cfg.cdtype), seed=seed,
             max_new=int(payload.get("max_new_tokens", 100)),
             temperature=float(payload.get("temperature", 0.5)),
             top_p=float(payload.get("top_p", 0.9)),
@@ -254,24 +268,27 @@ class ModelWorker:
         self.semaphore.acquire()
         try:
             frames = self._frames(payload)
-            self._apply_options(payload)
-            self._seed += 1
+            temperature, top_p, max_new = self._request_options(payload)
+            seed = self._next_seed()
             params, lora_name = self._request_params(payload)
             if self.scheduler is not None and lora_name is None:
                 # shared decode batch; LoRA-qualified requests fall through
                 # to the solo path (the scheduler's engine holds base params)
-                pred, valid, gen_ids = self._generate_continuous(payload, frames)
+                pred, valid, gen_ids = self._generate_continuous(
+                    payload, frames, seed)
             elif self.batcher is not None:
                 pred_row, valid_row, gen_ids = self.batcher.submit(
-                    payload["prompt"], frames, self._seed,
+                    payload["prompt"], frames, seed,
                     lora=lora_name, params=params,
                 )
                 pred, valid = pred_row[None], np.asarray([valid_row])
             else:
                 pred, valid, gen_ids = self.engine.infer(
-                    payload["prompt"], frames[None], jax.random.PRNGKey(self._seed),
+                    payload["prompt"], frames[None], jax.random.PRNGKey(seed),
                     params=params,
                     history=[tuple(t) for t in payload.get("history", [])],
+                    temperature=temperature, top_p=top_p,
+                    max_new_tokens=max_new,
                 )
             text = (
                 self.engine.tokenizer.decode(gen_ids)
@@ -309,8 +326,8 @@ class ModelWorker:
         self.semaphore.acquire()
         try:
             frames = self._frames(payload)
-            self._apply_options(payload)
-            self._seed += 1
+            temperature, top_p, max_new = self._request_options(payload)
+            seed = self._next_seed()
             req_params, lora_name = self._request_params(payload)
             if self.scheduler is not None and lora_name is None:
                 # continuous batching: chunk-boundary streaming (tokens
@@ -326,7 +343,7 @@ class ModelWorker:
                 def run_cont():
                     try:
                         pred, valid, _gen = self._generate_continuous(
-                            payload, frames, on_tokens=on_tokens)
+                            payload, frames, seed, on_tokens=on_tokens)
                         q.put({
                             "text": decode(pieces),
                             "pred_hands": pred.tolist(),
@@ -387,21 +404,21 @@ class ModelWorker:
                             )
                         out, _stats = generate_spec(
                             req_params, self.cfg, ids, frames[None],
-                            jax.random.PRNGKey(self._seed),
-                            max_new_tokens=self.engine.max_new_tokens,
+                            jax.random.PRNGKey(seed),
+                            max_new_tokens=max_new,
                             k=self.engine.spec_k, chunk_iters=2,
-                            temperature=self.engine.temperature,
-                            top_p=self.engine.top_p, attn_mask=attn,
+                            temperature=temperature,
+                            top_p=top_p, attn_mask=attn,
                             bank_ids=self.engine._spec_bank,
                             on_token=on_token,
                         )
                     else:
                         out = generate_host(
                             req_params, self.cfg, ids, frames[None],
-                            jax.random.PRNGKey(self._seed),
-                            max_new_tokens=self.engine.max_new_tokens,
-                            temperature=self.engine.temperature,
-                            top_p=self.engine.top_p, attn_mask=attn,
+                            jax.random.PRNGKey(seed),
+                            max_new_tokens=max_new,
+                            temperature=temperature,
+                            top_p=top_p, attn_mask=attn,
                             on_token=on_token,
                             stop_strs=[stop_str] if stop_str else None,
                             tokenizer=self.engine.tokenizer,

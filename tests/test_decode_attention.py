@@ -213,5 +213,5 @@ def test_stacked_quant_per_row_start_clamp():
     ref = attention_xla(
         q, deq_k[1], deq_v[1], key_mask=m, causal=True, q_offset=length - 1)
     got = decode_attention_stacked_q(
-        q, qc.k, qc.v, (qc.ks, qc.vs), 1, length, key_mask=m, block_k=16)
+        q, qc.k, qc.v, qc.ks, qc.vs, 1, length, key_mask=m, block_k=16)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-3)
