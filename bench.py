@@ -398,6 +398,111 @@ def run_serve_single():
     }))
 
 
+def run_long_single():
+    """Long-context decode: B=4 rows decoding against a ~4096-deep cache —
+    the regime where int8 KV's structural 2x cache-bandwidth/footprint win
+    must show up as step time (at S<=832 the A/B was tunnel noise,
+    docs/PERF_NOTES.md). HANDSONVLM_BENCH_KV picks the cache dtype; the
+    kv8 and bf16 variants run in separate processes (both caches cannot
+    coexist beside the weights on a 16 GB chip, and freed buffers never
+    return to the allocator — CLAUDE.md).
+
+    Beyond-reference by construction: the reference caps context at 2048
+    (llava/model/builder.py:154-157) and decodes with use_cache=False.
+
+    Timing: K-chained decode steps in one jit, fresh inputs, device_get
+    sync, differenced across two K values (CLAUDE.md tunnel rules)."""
+    t_start = time.time()
+    preset = os.environ.get("HANDSONVLM_BENCH_PRESET", "7b")
+    kv_quant = os.environ.get("HANDSONVLM_BENCH_KV") or None
+
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        cache_dir = os.environ.get(
+            "HANDSONVLM_JAX_CACHE", os.path.expanduser("~/.cache/handsonvlm_jax")
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+    from handsonvlm_tpu.models.llama import KVCache, QuantKVCache, apply_llama
+    from handsonvlm_tpu.ops.int8_matmul import init_llama_int4
+
+    cfg = _build_config(preset).llama
+    platform = jax.devices()[0].platform
+    b = int(os.environ.get("HANDSONVLM_BENCH_LONG_B", "4"))
+    s = int(os.environ.get("HANDSONVLM_BENCH_LONG_S", "4608"))
+    cursor = int(os.environ.get("HANDSONVLM_BENCH_LONG_CURSOR", "4096"))
+
+    params = init_llama_int4(jax.random.PRNGKey(0), cfg)
+    jax.block_until_ready(params)
+    shape = (cfg.num_layers, b, s, cfg.kv_heads, cfg.head_dim_)
+    if kv_quant == "int8":
+        k8 = jax.jit(lambda r: jax.random.randint(r, shape, -127, 128, jnp.int8))(
+            jax.random.PRNGKey(1))
+        v8 = jax.jit(lambda r: jax.random.randint(r, shape, -127, 128, jnp.int8))(
+            jax.random.PRNGKey(2))
+        sc = jnp.full((cfg.num_layers, b, cfg.kv_heads, s), 0.02, jnp.float32)
+        cache = QuantKVCache(k=k8, v=v8, ks=sc, vs=sc,
+                             index=jnp.asarray(cursor, jnp.int32))
+    else:
+        cache = KVCache.create(cfg, b, s, jnp.bfloat16)
+        cache = type(cache)(k=cache.k, v=cache.v,
+                            index=jnp.asarray(cursor, jnp.int32))
+    jax.block_until_ready(cache.k)
+
+    def make_chunk(k_steps):
+        @jax.jit
+        def chunk(params, cache, x):
+            def body(i, state):
+                x, cache, acc = state
+                hidden, cache = apply_llama(
+                    params, cfg, inputs_embeds=x, kv_cache=cache,
+                    attn_impl="auto")
+                x = (x + hidden * jnp.bfloat16(1e-3)).astype(jnp.bfloat16)
+                return x, cache, acc + hidden[:, :, :1].sum()
+
+            return jax.lax.fori_loop(0, k_steps, body, (x, cache, 0.0))[2]
+
+        return chunk
+
+    k_lo, k_hi = 8, 32
+    res = {}
+    for k_steps in (k_lo, k_hi):
+        fn = make_chunk(k_steps)
+        x0 = jax.random.normal(jax.random.PRNGKey(3), (b, 1, cfg.hidden_size),
+                               jnp.bfloat16)
+        np.asarray(jax.device_get(fn(params, cache, x0)))  # compile
+        times = []
+        for rep in range(5):
+            xr = jax.random.normal(jax.random.PRNGKey(10 + rep),
+                                   (b, 1, cfg.hidden_size), jnp.bfloat16)
+            np.asarray(jax.device_get(xr[0, 0, :1]))
+            t0 = time.perf_counter()
+            out = fn(params, cache, xr)
+            np.asarray(jax.device_get(out))
+            times.append(time.perf_counter() - t0)
+        res[k_steps] = float(np.median(times))
+    step_s = (res[k_hi] - res[k_lo]) / (k_hi - k_lo)
+
+    print(json.dumps({
+        "metric": (f"decode_long_tokens_per_sec_{preset}_int4_s{cursor}_b{b}"
+                   + ("_kv8" if kv_quant else "_kvbf16")),
+        "value": round(b / step_s, 3),
+        "unit": "tokens/s/chip",
+        "step_ms": round(step_s * 1e3, 3),
+        "batch": b, "cache_len": s, "cursor": cursor,
+        "platform": platform,
+        "wall_s": round(time.time() - t_start, 1),
+    }))
+
+
 MODE_ENV = {
     # mode name -> env overrides for the child process
     "spec": {"HANDSONVLM_BENCH_QUANT": "int4", "HANDSONVLM_BENCH_SPEC": "4"},
@@ -414,6 +519,9 @@ MODE_ENV = {
     "train": {"HANDSONVLM_BENCH_TRAIN": "1"},
     # continuous-batching serving (round 3): S slots share one decode batch
     "serve_cont": {"HANDSONVLM_BENCH_SERVE": "1"},
+    # long-context decode (round 4): int8 KV's regime — S~4096, B=4
+    "long4k_kv8": {"HANDSONVLM_BENCH_LONG": "1", "HANDSONVLM_BENCH_KV": "int8"},
+    "long4k_bf16": {"HANDSONVLM_BENCH_LONG": "1", "HANDSONVLM_BENCH_KV": ""},
 }
 
 
@@ -609,6 +717,8 @@ def main():
             run_train_single()
         elif os.environ.get("HANDSONVLM_BENCH_SERVE", "0") == "1":
             run_serve_single()
+        elif os.environ.get("HANDSONVLM_BENCH_LONG", "0") == "1":
+            run_long_single()
         else:
             run_single()
         return
@@ -618,7 +728,8 @@ def main():
         m.strip()
         for m in os.environ.get(
             "HANDSONVLM_BENCH_MODES",
-            "seq,spec,spec_greedy,kv8,spec_kv8,int8,bf16,train,serve_cont"
+            "seq,spec,spec_greedy,kv8,spec_kv8,int8,bf16,train,serve_cont,"
+            "long4k_kv8,long4k_bf16"
         ).split(",")
         if m.strip() in MODE_ENV
     ] or ["spec"]

@@ -259,6 +259,8 @@ class ContinuousEngine:
         self.cur_waypoint = jnp.zeros((slots, 2, 2), jnp.float32)
         self.finished = jnp.ones((slots,), bool)
         self.slots = [_Slot() for _ in range(slots)]
+        self._last_compact_pos = -1  # skip re-planning when nothing changed
+        self.compactions = 0  # successful defrag events (telemetry/tests)
 
     # -- admission ----------------------------------------------------------
 
@@ -380,6 +382,96 @@ class ContinuousEngine:
                 done.append((r, self._finalize(slot)))
                 self.slots[r] = _Slot()
         return done
+
+    def compact(self) -> int:
+        """Block-aligned defragmentation: pull every live row's valid cache
+        blocks toward the front and reclaim the cursor slack (the dead
+        prompt buckets of finished requests and the pad each join burned
+        into the other rows' planes).
+
+        Mechanism: delete the same number h of fully-invalid cache blocks
+        from every live row (h = the minimum headroom across rows,
+        ops/cache_ops.count_removable_blocks) and pull the shared cursor
+        back by h * block_k. Valid blocks keep their content, lane masks,
+        and relative order, and every row's future writes stay congruent
+        mod block_k — so the decode kernel's compacted block sweep sees
+        bit-identical inputs and a row's continued generation is BIT-EQUAL
+        across the event (tests/test_continuous_compact.py). Rotary
+        continuity: positions are `index - starts`, and both shift by the
+        same delta.
+
+        Returns the number of cursor positions reclaimed (0 = not worth a
+        cache rewrite, or nothing changed since the last failed attempt).
+        Cost: one whole-block DMA pass over the cache (in-place, aliased —
+        no second cache allocation; ops/cache_ops.gather_cache_blocks).
+        """
+        if self.idle():
+            reclaimed = self.pos
+            if reclaimed:
+                self.pos = 0
+                self.cache = dataclasses.replace(
+                    self.cache, index=jnp.zeros((), jnp.int32))
+                self.mask[:] = False
+            return reclaimed
+        if self.pos == self._last_compact_pos:
+            return 0
+        from handsonvlm_tpu.ops.cache_ops import (
+            build_row_table,
+            count_removable_blocks,
+            gather_cache_blocks,
+        )
+        from handsonvlm_tpu.ops.decode_attention import (
+            DEFAULT_BLOCK_K,
+            _pick_stacked_block,
+        )
+
+        bk = _pick_stacked_block(self.s, min(DEFAULT_BLOCK_K, self.s))
+        if self.s % bk:
+            return 0  # no block-aligned view of this cache length
+        nk = self.s // bk
+        pos = min(self.pos, self.s)
+        h = min(
+            (count_removable_blocks(self.mask[r], pos, bk)
+             for r in range(self.b) if self.slots[r].busy),
+            default=0,
+        )
+        reclaimed = h * bk
+        if reclaimed < self.chunk:
+            self._last_compact_pos = self.pos
+            return 0
+        tables = np.tile(np.arange(nk, dtype=np.int32), (self.b, 1))
+        new_mask = np.zeros_like(self.mask)
+        for r in range(self.b):
+            if not self.slots[r].busy:
+                continue  # plane is dead: identity blocks, empty mask
+            tables[r], new_mask[r] = build_row_table(self.mask[r], pos, bk,
+                                                     nk, h)
+        new_len = self.pos - reclaimed
+
+        tj = jnp.asarray(tables)
+        k2 = gather_cache_blocks(self.cache.k, tj, block_k=bk)
+        v2 = gather_cache_blocks(self.cache.v, tj, block_k=bk)
+        if self.kv_quant == "int8":
+            ks2 = gather_cache_blocks(self.cache.ks, tj, block_k=bk,
+                                      seq_axis=3)
+            vs2 = gather_cache_blocks(self.cache.vs, tj, block_k=bk,
+                                      seq_axis=3)
+            self.cache = dataclasses.replace(
+                self.cache, k=k2, v=v2, ks=ks2, vs=vs2,
+                index=jnp.asarray(new_len, jnp.int32))
+        else:
+            self.cache = dataclasses.replace(
+                self.cache, k=k2, v=v2,
+                index=jnp.asarray(new_len, jnp.int32))
+        delta = new_len - self.pos  # negative shift of the global cursor
+        self.starts = self.starts + jnp.asarray(delta, jnp.int32)
+        for slot in self.slots:
+            if slot.busy:
+                slot.start += delta
+        self.mask = new_mask
+        self.pos = new_len
+        self.compactions += 1
+        return reclaimed
 
     def drain(self):
         """Finalize every busy slot with what it has (host-side only; no

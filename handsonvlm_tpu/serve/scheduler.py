@@ -148,6 +148,12 @@ class ContinuousScheduler:
                 head = self._pending[0]
                 plen = head.ids.shape[1]
                 if not eng.can_admit(plen):
+                    # defrag before giving up: finished requests leave dead
+                    # buckets behind that a block-aligned compaction can
+                    # reclaim without disturbing live rows (bit-equal
+                    # streams; ContinuousEngine.compact)
+                    eng.compact()
+                if not eng.can_admit(plen):
                     # a prompt too big to EVER fit must be failed, not queued
                     # forever: when the engine is empty can_admit is maximal
                     if eng.idle() and not self._live:
@@ -180,8 +186,11 @@ class ContinuousScheduler:
     def _step_once(self):
         eng = self.engine
         if eng.pos + eng.chunk > eng.s:
-            # shared cursor exhausted with rows still live: truncate them
-            # honestly rather than deadlock (see ContinuousEngine.drain)
+            # cursor exhausted with rows still live: reclaim dead blocks
+            # first; truncation (drain) is the last resort when even the
+            # compacted live content fills the cache
+            eng.compact()
+        if eng.pos + eng.chunk > eng.s:
             done = eng.drain()
         else:
             done = eng.step()
