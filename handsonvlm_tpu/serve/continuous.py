@@ -86,16 +86,30 @@ def _row_sample(keys, logits, temps, top_ps):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "s1", "attn_impl", "kv_quant"),
-    donate_argnums=(1,),
+    donate_argnums=(1, 8, 9, 10, 11, 12, 13, 14, 15),
 )
 def _join_jit(params, cache, cfg: HandsOnVLMConfig, input_ids, images,
-              row, at_pos, row_key, frame_map, *, s1: int, attn_impl: str,
-              kv_quant: Optional[str]):
-    """Prefill ONE request (B=1) into a transient cache of bucket length
-    `s1`, splice its KV into slot `row` of the persistent cache at
-    `at_pos`, and sample the request's first token. The transient stays
-    program-internal (freed device buffers never return to the allocator
-    on this backend — CLAUDE.md)."""
+              row, at_pos, row_key,
+              starts, steps, temps, top_ps, row_keys, cur_token,
+              cur_waypoint, finished,
+              start_val, temperature, top_p, eos_token_id, frame_map,
+              *, s1: int, attn_impl: str, kv_quant: Optional[str]):
+    """The WHOLE join in one dispatch: prefill ONE request (B=1) into a
+    transient cache of bucket length `s1`, splice its KV into slot `row`
+    of the persistent cache at `at_pos`, sample the request's first token
+    and waypoint, and update every per-row state vector.
+
+    One dispatch is load-bearing: each extra device call pays ~30 ms of
+    tunnel latency, and the original join (prefill + first-token + six
+    separate row-state updates) spent more wall time on dispatches than on
+    prefill compute — 8 burst joins were ~60% of the 64-token serving wall
+    (docs/PERF_NOTES.md 'Continuous batching serving'). The transient
+    prefill cache stays program-internal (freed device buffers never
+    return to the allocator on this backend — CLAUDE.md).
+
+    Returns the updated (cache, row-state vectors..., packed) where
+    `packed` is a (6,) f32 [token, waypoint(4), finished] — ONE device_get
+    gives the host everything it needs."""
     last_hidden, pcache, _ = prefill(
         params, cfg, input_ids, images, s1, attn_impl=attn_impl,
         frame_map=frame_map)
@@ -116,22 +130,37 @@ def _join_jit(params, cache, cfg: HandsOnVLMConfig, input_ids, images,
         v = jax.lax.dynamic_update_slice(
             cache.v, pcache.v.astype(cache.v.dtype), (0, row, at_pos, 0, 0))
         cache = dataclasses.replace(cache, k=k, v=v)
-    return cache, last_hidden[0], jax.random.fold_in(row_key, 0)
+    cache = dataclasses.replace(
+        cache, index=jnp.asarray(at_pos + s1).astype(jnp.int32))
 
-
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _first_token_row(params, cfg, last_hidden, key0, temperature, top_p):
-    r_tok, r_hand = jax.random.split(key0)
+    last_hidden = last_hidden[0]
+    r_tok, r_hand = jax.random.split(jax.random.fold_in(row_key, 0))
     logits = lm_logits(params["llama"], cfg.llama, last_hidden[None, None])[0, 0]
     token = _sample_token_traced(r_tok, logits[None], temperature, top_p)[0]
     waypoint = decode_hand_waypoint(params, cfg, last_hidden[None], r_hand)[0]
-    return token, waypoint
+    fin = token == eos_token_id
 
+    def setr(vec, val):
+        return jax.lax.dynamic_update_index_in_dim(
+            vec, jnp.asarray(val).astype(vec.dtype), row, 0)
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _set_row(vec, row, val):
-    return jax.lax.dynamic_update_index_in_dim(vec, val.astype(vec.dtype),
-                                               row, 0)
+    starts = setr(starts, start_val)
+    steps = setr(steps, 1)
+    temps = setr(temps, temperature)
+    top_ps = setr(top_ps, top_p)
+    row_keys = jax.lax.dynamic_update_index_in_dim(
+        row_keys, row_key.astype(row_keys.dtype), row, 0)
+    cur_token = setr(cur_token, token)
+    cur_waypoint = jax.lax.dynamic_update_index_in_dim(
+        cur_waypoint, waypoint.astype(jnp.float32)[None], row, 0)
+    finished = setr(finished, fin)
+    packed = jnp.concatenate([
+        token[None].astype(jnp.float32),
+        waypoint.astype(jnp.float32).reshape(4),
+        fin[None].astype(jnp.float32),
+    ])
+    return (cache, starts, steps, temps, top_ps, row_keys, cur_token,
+            cur_waypoint, finished, packed)
 
 
 @functools.partial(
@@ -185,7 +214,17 @@ def _chunk_jit(params, cache, cache_mask, starts, steps, row_keys,
         jnp.zeros((b, k, 2, 2), jnp.float32),
         jnp.zeros((b, k), bool),
     )
-    return jax.lax.fori_loop(0, k, body, init)
+    (cache, tok, wp, fin, steps, tokens, wps, hands) = jax.lax.fori_loop(
+        0, k, body, init)
+    # pack the host-bound outputs into ONE array: a device_get is a full
+    # tunnel round-trip (~30 ms), and three of them per chunk were pure
+    # latency (token ids < 2^24 are exact in f32)
+    packed = jnp.concatenate([
+        tokens.astype(jnp.float32)[..., None],
+        wps.reshape(b, k, 4),
+        hands.astype(jnp.float32)[..., None],
+    ], axis=-1)
+    return cache, tok, wp, fin, steps, packed
 
 
 @dataclasses.dataclass
@@ -311,35 +350,31 @@ class ContinuousEngine:
             raise RuntimeError("cache exhausted; check can_admit first")
 
         row_key = jax.random.PRNGKey(seed)
-        self.cache, last_hidden, key0 = _join_jit(
+        # one dispatch does everything (prefill + splice + first token +
+        # every row-state update) and one packed device_get syncs the host
+        # — join used to burn ~8 tunnel round-trips on tiny updates, which
+        # dominated burst serving's wall (docs/PERF_NOTES.md round 4)
+        (self.cache, self.starts, self.steps, self.temps, self.top_ps,
+         self.row_keys, self.cur_token, self.cur_waypoint, self.finished,
+         packed) = _join_jit(
             self.params, self.cache, self.cfg, jnp.asarray(input_ids),
             jnp.asarray(images), row, at, row_key,
+            self.starts, self.steps, self.temps, self.top_ps,
+            self.row_keys, self.cur_token, self.cur_waypoint, self.finished,
+            at + s1 - t_out, jnp.float32(temperature), jnp.float32(top_p),
+            self.eos,
             None if frame_map is None else jnp.asarray(frame_map),
             s1=s1, attn_impl=self.attn_impl, kv_quant=self.kv_quant)
-        token, waypoint = _first_token_row(
-            self.params, self.cfg, last_hidden, key0,
-            jnp.float32(temperature), jnp.float32(top_p))
 
         # bookkeeping: cursor jumps past the prompt bucket for everyone;
         # only the joiner's mask covers the prompt span
         self.mask[row, :] = False
         self.mask[row, at:at + t_out] = True
         self.pos = at + s1
-        self.cache = dataclasses.replace(
-            self.cache, index=jnp.asarray(self.pos, jnp.int32))
-        self.starts = _set_row(self.starts, row, jnp.asarray(at + s1 - t_out))
-        self.steps = _set_row(self.steps, row, jnp.asarray(1))
-        self.temps = _set_row(self.temps, row, jnp.asarray(temperature))
-        self.top_ps = _set_row(self.top_ps, row, jnp.asarray(top_p))
-        self.row_keys = self.row_keys.at[row].set(row_key)
-        self.cur_token = _set_row(self.cur_token, row, token)
-        self.cur_waypoint = jax.lax.dynamic_update_index_in_dim(
-            self.cur_waypoint, waypoint.astype(jnp.float32), row, 0)
-        self.finished = _set_row(self.finished, row,
-                                 jnp.asarray(token == self.eos))
 
-        tok0 = int(token)
-        wp0 = np.asarray(waypoint, np.float32)
+        packed = np.asarray(jax.device_get(packed))
+        tok0 = int(packed[0])
+        wp0 = packed[1:5].reshape(2, 2).astype(np.float32)
         self.slots[row] = _Slot(
             busy=True, start=at + s1 - t_out, max_new=max_new, seed=seed,
             tokens=[tok0], wps=[wp0],
@@ -355,15 +390,16 @@ class ContinuousEngine:
         # the chunk will write [pos, pos+chunk) for every row
         self.mask[:, self.pos:self.pos + self.chunk] = True
         (self.cache, self.cur_token, self.cur_waypoint, self.finished,
-         self.steps, tokens, wps, hands) = _chunk_jit(
+         self.steps, packed) = _chunk_jit(
             self.params, self.cache, jnp.asarray(self.mask), self.starts,
             self.steps, self.row_keys, self.cur_token, self.cur_waypoint,
             self.finished, self.temps, self.top_ps, self.cfg,
             k=self.chunk, attn_impl=self.attn_impl, eos_token_id=self.eos)
         self.pos += self.chunk
-        tokens = np.asarray(jax.device_get(tokens))
-        wps = np.asarray(jax.device_get(wps))
-        hands = np.asarray(jax.device_get(hands))
+        packed = np.asarray(jax.device_get(packed))  # ONE tunnel round-trip
+        tokens = packed[..., 0].astype(np.int32)
+        wps = packed[..., 1:5].reshape(self.b, self.chunk, 2, 2)
+        hands = packed[..., 5] > 0.5
 
         done = []
         for r, slot in enumerate(self.slots):

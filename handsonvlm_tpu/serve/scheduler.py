@@ -25,6 +25,7 @@ from __future__ import annotations
 import collections
 import dataclasses
 import threading
+import time
 from typing import Callable, List, Optional
 
 import numpy as np
@@ -47,6 +48,7 @@ class _Ticket:
     output: Optional[SampleOutput] = None
     error: Optional[str] = None
     sent: int = 0  # tokens already streamed through on_tokens
+    t_submit: float = dataclasses.field(default_factory=time.perf_counter)
 
 
 class ContinuousScheduler:
@@ -68,6 +70,7 @@ class ContinuousScheduler:
             kv_quant=kv_quant, eos_token_id=eos_token_id)
         self._pending: collections.deque = collections.deque()
         self._live: dict = {}  # row -> ticket
+        self.ttfts: List[float] = []  # submit -> first-token latencies (s)
         self._cv = threading.Condition()
         self._stopped = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -174,6 +177,8 @@ class ContinuousScheduler:
                 head.error = str(e)
                 head.event.set()
                 continue
+            # the join produced the request's first token — TTFT ends here
+            self.ttfts.append(time.perf_counter() - head.t_submit)
             self._live[row] = head
             self._stream(row, head)
             # first token may already be EOS / max_new==1

@@ -136,11 +136,16 @@ def main():
     print(f"  warm seq: {n} tokens in {dt:.1f}s", flush=True)
 
     for r in range(1, rounds + 1):
+        sched.ttfts.clear()
         n, dt, lats = run_continuous(r * 100)
         p50 = lats[len(lats) // 2]
+        tt = sorted(sched.ttfts)
+        ttft = (f"; TTFT p50 {tt[len(tt) // 2]:.2f}s max {tt[-1]:.2f}s"
+                if tt else "")
         print(f"round {r} continuous  S={slots} chunk={chunk}: "
               f"{n/dt:7.1f} tok/s aggregate ({n} tokens in {dt:.1f}s; "
-              f"req latency p50 {p50:.1f}s max {lats[-1]:.1f}s)", flush=True)
+              f"req latency p50 {p50:.1f}s max {lats[-1]:.1f}s{ttft})",
+              flush=True)
         n, dt = run_sequential(r * 100 + 50)
         print(f"round {r} sequential           : "
               f"{n/dt:7.1f} tok/s aggregate ({n} tokens in {dt:.1f}s)",

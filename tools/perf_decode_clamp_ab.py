@@ -42,9 +42,12 @@ from handsonvlm_tpu.core.config import get_config  # noqa: E402
 from handsonvlm_tpu.models.llama import QuantKVCache, apply_llama  # noqa: E402
 from handsonvlm_tpu.ops.int8_matmul import init_llama_int4  # noqa: E402
 
+# S=5120 (not 6144): the chunk program's carry cache cannot be donated (the
+# host reuses the same cache across reps), so input + updated copy coexist —
+# 2 x 5.0 GiB + 3.4 GiB int4 weights fits, 2 x 6 GiB does not (measured OOM)
 B = int(os.environ.get("HANDSONVLM_B", "4"))
-S = int(os.environ.get("HANDSONVLM_S", "6144"))
-CURSOR = int(os.environ.get("HANDSONVLM_CURSOR", "4224"))
+S = int(os.environ.get("HANDSONVLM_S", "5120"))
+CURSOR = int(os.environ.get("HANDSONVLM_CURSOR", "4096"))
 BUCKET = CURSOR // B  # per-row prompt bucket in the frag scenario
 
 
