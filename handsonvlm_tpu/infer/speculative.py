@@ -274,6 +274,8 @@ def generate_spec(
     max_len: int = 0,
     on_token=None,
     kv_quant=None,  # "int8": quantized decode cache (models/llama.QuantKVCache)
+    gate_tok_per_fwd: float = 1.2,
+    probe_iters: int = 8,
 ):
     """Speculative generate, B=1. Returns (SampleOutput, stats dict with
     'iters' forwards and 'drafts_found'). Sampling distribution matches
@@ -283,12 +285,25 @@ def generate_spec(
     chunk dispatch (up to chunk_iters*(k+1) tokens per burst; lower
     `chunk_iters` for finer-grained streaming).
 
-    Without `on_token`, the whole decode runs as ONE spec_chunk dispatch:
-    every forward emits >=1 token, so `max_new_tokens` iterations always
-    suffice, and finished iterations skip the weight streams via lax.cond
-    (they cost loop arithmetic only). Chunked dispatch pays ~30 ms of
-    tunnel latency per host sync (CLAUDE.md), which at ~5 chunks was ~40%
-    of the 64-token decode wall time."""
+    Acceptance gate: a K-token verify forward streams the same weights as
+    a 1-token step but computes K+1 positions, so speculation only wins
+    when drafts actually get accepted — at the eval temperature with a
+    model that does NOT match the template bank, measured acceptance is
+    1.04-1.11 tok/fwd and --spec made eval SLOWER (BENCH_r03; with a
+    matched bank it is 1.78, tools/perf_spec_acceptance.py). The first
+    `probe_iters` forwards run speculatively; if they emitted fewer than
+    `gate_tok_per_fwd` tokens per forward, the remaining decode continues
+    with k=0 — which IS sequential decode in this loop (empty draft, one
+    position per forward, identical sampling semantics and state), so the
+    fallback reuses the cache and state with zero re-work.
+    `gate_tok_per_fwd=0` disables the gate (one-dispatch fast path).
+
+    Without `on_token` and with the gate off, the whole decode runs as ONE
+    spec_chunk dispatch: every forward emits >=1 token, so
+    `max_new_tokens` iterations always suffice, and finished iterations
+    skip the weight streams via lax.cond (they cost loop arithmetic only).
+    Chunked dispatch pays ~30 ms of tunnel latency per host sync
+    (CLAUDE.md), which at ~5 chunks was ~40% of the 64-token decode wall."""
     import numpy as np
 
     input_ids = jnp.asarray(input_ids)
@@ -350,21 +365,36 @@ def generate_spec(
 
     if on_token is not None and not bool(jax.device_get(state["finished"])):
         on_token(int(tok0))
+    gating = gate_tok_per_fwd > 0 and probe_iters > 0 and k > 0
     if on_token is None:
-        # non-streaming: one dispatch covers the worst case (1 token/fwd)
+        # non-streaming: one dispatch covers the worst case (1 token/fwd);
+        # with the gate on, the probe chunk is its own (small) dispatch
         chunk_iters = max(chunk_iters, max_new_tokens)
+    k_run = k
+    gated = False
     streamed = 1
+    first_chunk = True
     while True:
         rng, r_chunk = jax.random.split(rng)
+        iters = probe_iters if (gating and first_chunk) else chunk_iters
         cache, state, _ = spec_chunk(
             params, cfg, cache, cache_mask, state, r_chunk,
-            k=k, iters=chunk_iters, max_new_tokens=max_new_tokens,
+            k=k_run, iters=iters, max_new_tokens=max_new_tokens,
             temperature=temperature, top_p=top_p,
             eos_token_id=eos_token_id, attn_impl=attn_impl,
         )
         # ONE host sync per chunk: each device_get is a ~30 ms tunnel trip
-        done_arr, n_arr = jax.device_get((state["finished"], state["n_tokens"]))
-        done, n_now = bool(done_arr), int(n_arr)
+        done_arr, n_arr, it_arr = jax.device_get(
+            (state["finished"], state["n_tokens"], state["iters"]))
+        done, n_now, n_fwd = bool(done_arr), int(n_arr), int(it_arr)
+        if gating and first_chunk and not done and n_fwd > 0:
+            # probe verdict: below the break-even acceptance, continue the
+            # SAME loop with k=0 (sequential cost, identical semantics)
+            rate = (n_now - 1) / n_fwd
+            if rate < gate_tok_per_fwd:
+                k_run = 0
+                gated = True
+        first_chunk = False
         if on_token is not None and n_now > streamed:
             # fetch the whole (tiny) token buffer and slice host-side: a
             # device-side dynamic_slice outside jit would compile a new
@@ -411,6 +441,8 @@ def generate_spec(
         "tokens": n,
         # accept_hist[i] = forwards that emitted i tokens (i=0 unused)
         "accept_hist": [int(x) for x in np.asarray(fetched["accept_hist"])],
+        # acceptance gate fell back to k=0 (sequential-cost) decode
+        "gated": gated,
     }
     return out, stats
 

@@ -156,3 +156,64 @@ def test_build_template_bank():
     from handsonvlm_tpu.infer.sampler import EOS_TOKEN_ID
 
     assert (bank == EOS_TOKEN_ID).sum() >= 7  # one per template joined
+
+
+def test_gate_falls_back_to_sequential_cost():
+    """Acceptance gate: with random weights and no bank (measured-regime
+    acceptance ~1.0-1.1 tok/fwd), the probe chunk must flip the loop to
+    k=0 — whose per-forward cost IS a sequential step — while the greedy
+    output stays token-identical to the sequential loop."""
+    params = init_handsonvlm(jax.random.PRNGKey(42), CFG)
+    ids, images = _prompt()
+    kwargs = dict(max_new_tokens=12, temperature=0.0, attn_impl="xla")
+    ref = generate(
+        params, CFG, jnp.asarray(ids), jnp.asarray(images),
+        jax.random.PRNGKey(7), **kwargs
+    )
+    # threshold above k+1 forces the gate even if a draft lands by luck
+    out, stats = generate_spec(
+        params, CFG, ids, images, jax.random.PRNGKey(7), k=3, chunk_iters=4,
+        gate_tok_per_fwd=99.0, probe_iters=2, **kwargs
+    )
+    assert stats["gated"] is True
+    n = int(ref.num_tokens[0])
+    assert int(out.num_tokens[0]) == n
+    np.testing.assert_array_equal(
+        np.asarray(out.sequences[0, :n]), np.asarray(ref.sequences[0, :n])
+    )
+    # post-gate forwards emit exactly 1 token each: total forwards =
+    # probe forwards + remaining tokens
+    assert stats["iters"] >= n - 1 - 3 * 2  # probe can emit up to k+1 each
+
+    # gate disabled reproduces the one-dispatch fast path
+    out2, stats2 = generate_spec(
+        params, CFG, ids, images, jax.random.PRNGKey(7), k=3, chunk_iters=4,
+        gate_tok_per_fwd=0.0, **kwargs
+    )
+    assert stats2["gated"] is False
+    np.testing.assert_array_equal(
+        np.asarray(out2.sequences[0, :n]), np.asarray(ref.sequences[0, :n])
+    )
+
+
+def test_gate_keeps_speculation_when_accepting():
+    """A perfectly matching bank keeps the gate open (no fallback)."""
+    params = init_handsonvlm(jax.random.PRNGKey(42), CFG)
+    ids, images = _prompt()
+    kwargs = dict(max_new_tokens=12, temperature=0.0, attn_impl="xla")
+    ref = generate(
+        params, CFG, jnp.asarray(ids), jnp.asarray(images),
+        jax.random.PRNGKey(7), **kwargs
+    )
+    n = int(ref.num_tokens[0])
+    bank = np.concatenate(
+        [[ids[0, -1]], np.asarray(ref.sequences[0, :n])]).astype(np.int32)
+    out, stats = generate_spec(
+        params, CFG, ids, images, jax.random.PRNGKey(7), k=3, chunk_iters=4,
+        bank_ids=bank, gate_tok_per_fwd=1.2, probe_iters=2, **kwargs
+    )
+    assert stats["gated"] is False
+    assert stats["iters"] < stats["tokens"]
+    np.testing.assert_array_equal(
+        np.asarray(out.sequences[0, :n]), np.asarray(ref.sequences[0, :n])
+    )
