@@ -35,6 +35,13 @@ def main():
     p.add_argument("--spec", type=int, default=0, metavar="K",
                    help="speculative decode (distribution-exact; B=1 eval "
                         "is the protocol, so metrics are unchanged)")
+    p.add_argument("--batched", type=int, default=0, metavar="SLOTS",
+                   help="route decodes through the continuous-batching "
+                        "engine with SLOTS shared-decode slots (aggregate "
+                        "throughput; per-sample streams are composition-"
+                        "independent so scoring is unchanged)")
+    p.add_argument("--batched-max-len", type=int, default=4096)
+    p.add_argument("--batched-chunk", type=int, default=16)
     args = p.parse_args()
 
     from handsonvlm_tpu.data.epic_dataset import (
@@ -65,7 +72,8 @@ def main():
     )
     result = evaluate_epic_kitchen_traj(
         engine, dataset, seed=args.seed, limit=args.limit,
-        num_samples=args.num_samples,
+        num_samples=args.num_samples, batched=args.batched,
+        batched_max_len=args.batched_max_len, batched_chunk=args.batched_chunk,
     )
     summary = {k: result[k] for k in ("ade", "fde", "wde", "n")}
     print(json.dumps(summary))

@@ -193,6 +193,88 @@ class InferenceEngine:
         return pred, valid, gen_ids
 
 
+def _infer_all_batched(engine: InferenceEngine, dataset, n: int,
+                       num_samples: int, seed: int, slots: int,
+                       max_len: int, chunk: int):
+    """Run every (clip, sample) decode through the continuous-batching
+    scheduler (serve/scheduler.py): `slots` requests share one decode batch
+    and one weight stream per step instead of bs=1 serial decodes.
+
+    Sound for scoring because the protocol is per-sample and stochastic:
+    each row's rng and rotary positions are EXACT under composition
+    (tests/test_continuous.py); logits differ only by floating-point
+    reassociation (the row's keys sit at different global cache offsets
+    per composition), whose ulp seeds grow through the KV-cache feedback
+    over long generations — the same class of difference as changing the
+    sampling seed, which the EK protocol (temp 0.5, evaluate_traj_
+    stochastic) already averages over (tests/test_eval_batched.py). The
+    reference harness is bs=1 serial (handsonvlm_inference.py:127-174).
+
+    Returns {clip -> ([(pred, valid)] * num_samples, gen_ids_of_sample0)}.
+    """
+    import queue
+    import threading
+
+    from handsonvlm_tpu.serve.scheduler import ContinuousScheduler
+
+    sched = ContinuousScheduler(
+        engine.params, engine.cfg, slots=slots, max_len=max_len, chunk=chunk,
+        temperature=engine.temperature, top_p=engine.top_p,
+        kv_quant=engine.kv_quant)
+    work: queue.Queue = queue.Queue()
+    for i in range(n):
+        for s in range(num_samples):
+            work.put((i, s))
+    results: Dict = {}
+    errors = []
+
+    def runner():
+        while True:
+            try:
+                i, s = work.get_nowait()
+            except queue.Empty:
+                return
+            try:
+                sample = dataset[i]
+                ids = engine.build_prompt_ids(sample["prompt"])
+                images, fmap = engine.dedup_frames(
+                    np.asarray(sample["image"][None]))
+                out = sched.submit(
+                    jnp.asarray(ids),
+                    jnp.asarray(images, engine.cfg.cdtype),
+                    seed=seed * 1_000_003 + i * num_samples + s,
+                    max_new=engine.max_new_tokens,
+                    frame_map=None if fmap is None else jnp.asarray(fmap),
+                    timeout=3600,
+                )
+                results[(i, s)] = out
+            except Exception as e:  # noqa: BLE001 — surface after join
+                errors.append((i, s, repr(e)))
+
+    threads = [threading.Thread(target=runner)
+               for _ in range(max(2 * slots, 4))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    sched.stop()
+    if errors:
+        raise RuntimeError(f"batched eval failed on {errors[:3]} "
+                           f"(+{max(0, len(errors) - 3)} more)")
+
+    clip_outputs = {}
+    for i in range(n):
+        sp = []
+        for s in range(num_samples):
+            out = results[(i, s)]
+            pred_k, valid_k = clip_pred_hands(out.pred_hands, out.num_hands)
+            sp.append((pred_k, valid_k))
+        out0 = results[(i, 0)]
+        n_tok = int(out0.num_tokens[0])
+        clip_outputs[i] = (sp, np.asarray(out0.sequences[0, :n_tok]))
+    return clip_outputs
+
+
 def evaluate_epic_kitchen_traj(
     engine: InferenceEngine,
     dataset,
@@ -200,6 +282,9 @@ def evaluate_epic_kitchen_traj(
     log_every: int = 50,
     limit: Optional[int] = None,
     num_samples: int = 1,
+    batched: int = 0,
+    batched_max_len: int = 4096,
+    batched_chunk: int = 16,
 ) -> Dict:
     """Loop a deterministic conversation dataset, score stochastic ADE/FDE.
 
@@ -207,21 +292,32 @@ def evaluate_epic_kitchen_traj(
     `num_samples` > 1 decodes each clip multiple times and scores the
     min/mean-over-samples protocol (the reference harness uses 1 decode per
     clip; the paper's stochastic metrics support multiple).
+    `batched` > 0 routes decodes through the continuous-batching engine
+    with that many slots (aggregate throughput; per-sample streams are
+    composition-independent so scoring is unchanged — _infer_all_batched).
     Returns {'ade','fde','wde','n','val_info'}.
     """
     rng = jax.random.PRNGKey(seed)
     preds, gts, valids = [], [], []
     val_info = {}
     n = len(dataset) if limit is None else min(limit, len(dataset))
+    clip_outputs = None
+    if batched > 0:
+        clip_outputs = _infer_all_batched(
+            engine, dataset, n, num_samples, seed, batched,
+            batched_max_len, batched_chunk)
     for i in range(n):
         sample = dataset[i]
-        sample_preds = []
-        for _ in range(num_samples):
-            rng, step_rng = jax.random.split(rng)
-            pred_k, valid_k, gen_ids = engine.infer(
-                sample["prompt"], sample["image"][None], step_rng
-            )
-            sample_preds.append((pred_k, valid_k))
+        if clip_outputs is not None:
+            sample_preds, gen_ids = clip_outputs[i]
+        else:
+            sample_preds = []
+            for _ in range(num_samples):
+                rng, step_rng = jax.random.split(rng)
+                pred_k, valid_k, gen_ids = engine.infer(
+                    sample["prompt"], sample["image"][None], step_rng
+                )
+                sample_preds.append((pred_k, valid_k))
         # a clip counts when every stochastic decode produced a trajectory
         valid = np.stack([v for _, v in sample_preds]).all(axis=0)
         pred = sample_preds[0][0]  # representative decode for val_info

@@ -16,8 +16,11 @@ Design (shaped by this backend's measured constraints, docs/PERF_NOTES.md):
   chunk boundaries (apply_llama ANDs it with the written-positions mask).
 - Rotary positions are per-row local: position = cursor - start_r, where
   start_r is the global slot of the row's first prompt token (apply_llama
-  `positions` argument) — a row's logits are bit-equal to a solo decode
-  regardless of batch composition (tests/test_continuous.py).
+  `positions` argument) — a row's logits match a solo decode regardless of
+  batch composition, exactly in rng/positions and up to floating-point
+  reassociation in attention reductions (the row's keys sit at different
+  global cache offsets per composition; tests/test_continuous.py,
+  tests/test_eval_batched.py).
 - RNG is per-row: step key = fold_in(row_key, local_step), so a request's
   sampled stream is also composition-independent.
 - Space: the cursor consumes sum(prompt buckets) + chunk * n_chunks of S.
