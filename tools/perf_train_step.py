@@ -87,11 +87,17 @@ def main():
     # weight trains). 7B full SFT cannot fit one 16 GB chip; use
     # PERF_PRESET=1b (params+grads+Adam ~14 GB with PERF_MU_BF16=1).
     full_sft = os.environ.get("PERF_MODE", "qlora") == "full"
+    # PERF_QUANT=int8: int8 frozen base instead of int4 — 2x weight DMA
+    # but no nibble-unpack vector work in the prefill GEMMs (the dequant
+    # tax named by the round-3 MFU decomposition). PERF_LORA_R=0 drops the
+    # adapter entirely (projector/CVAE still train), isolating the
+    # sub-MXU LoRA-dot tax.
+    quant = os.environ.get("PERF_QUANT", "int4")
 
     params, cfg, _tok = load_pretrained_model(
-        f"random:{preset}", preset, quantize=None if full_sft else "int4"
+        f"random:{preset}", preset, quantize=None if full_sft else quant
     )
-    if not full_sft:
+    if not full_sft and r > 0:
         params["lora"] = init_lora(jax.random.PRNGKey(42), cfg.llama, r=r, alpha=2 * r)
     import dataclasses
 
@@ -130,7 +136,7 @@ def main():
             loss = float(m["loss"])  # syncs the chain
             dt = (time.time() - t0) / steps
             fl = flops_per_step(cfg, b, t_spliced, n_frames)
-            mode = "full-sft" if full_sft else f"lora_r={r}"
+            mode = "full-sft" if full_sft else f"lora_r={r} base={quant}"
             line = (
                 f"B={b} T_spliced={t_spliced} frames={n_frames} {mode} remat={rm}: "
                 f"{dt*1e3:.0f} ms/step  {fl['tokens']/dt:.0f} tok/s  "
