@@ -460,13 +460,19 @@ def run_long_single():
     import dataclasses
 
     def make_chunk(k_steps):
-        # the cache is DONATED and rebound call-to-call: a non-donated
+        # the bf16 cache is DONATED and rebound call-to-call: a non-donated
         # carry pays a full-cache copy at loop entry, and the bf16 cache
         # (9.7 GiB at B=4, S=4608) cannot afford input+copy beside the
-        # weights (measured remote-compile failure). Differenced two-K
-        # timing cancels per-call constants either way, so kv8/bf16 stay
-        # comparable; the cursor is re-pinned between calls.
-        @functools.partial(jax.jit, donate_argnums=(1,))
+        # weights (measured remote-compile failure). The int8 cache is NOT
+        # donated: its donated program dies at runtime with a backend
+        # InvalidArgument (aliasing/layout conflict on the quant pytree),
+        # and it fits without donation. Differenced two-K timing cancels
+        # per-call constants (incl. the entry copy) either way, so the
+        # kv8/bf16 numbers stay comparable; the cursor is re-pinned
+        # between calls.
+        donate = (1,) if kv_quant != "int8" else ()
+
+        @functools.partial(jax.jit, donate_argnums=donate)
         def chunk(params, cache, x):
             def body(i, state):
                 x, cache, acc = state
