@@ -572,8 +572,13 @@ def run_train_single():
     from handsonvlm_tpu.train.train_state import create_train_state, make_optimizer
     from tools.perf_train_step import flops_per_step, make_batch
 
+    # 7B trains on the int8 base: higher fidelity AND faster than int4
+    # (53.7% vs 45.5% MFU — the nibble-unpack taxes every training GEMM,
+    # docs/PERF_NOTES.md round 4); 13B keeps int4 (int8 base + Adam
+    # moments exceed the 16 GB chip)
+    base_q = "int8" if preset == "7b" else "int4"
     params, cfg, _ = load_pretrained_model(
-        f"random:{preset}", preset, quantize="int4"
+        f"random:{preset}", preset, quantize=base_q
     )
     params["lora"] = init_lora(jax.random.PRNGKey(42), cfg.llama, r=128, alpha=256)
     import dataclasses
@@ -602,6 +607,7 @@ def run_train_single():
         "metric": f"train_tokens_per_sec_{preset}_qlora_r128",
         "value": round(fl["tokens"] / dt, 1),
         "unit": "tokens/s/chip",
+        "base_quant": base_q,
         "step_ms": round(dt * 1e3, 1),
         "mfu_6pt_pct": round(fl["6pt"] / dt / 1e12 / 197.0 * 100, 1),
         "loss": round(loss, 3),

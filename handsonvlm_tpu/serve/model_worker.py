@@ -154,11 +154,27 @@ class ModelWorker:
         return names
 
     def status(self) -> dict:
-        return {
+        out = {
             "model_names": self._model_names(),
             "speed": 1,
             "queue_length": self.queue_length,
         }
+        if self.scheduler is not None:
+            # continuous-batching telemetry: cache-defrag events and
+            # time-to-first-token percentiles over this worker's lifetime
+            eng = self.scheduler.engine
+            tt = sorted(self.scheduler.ttfts)
+            out["continuous"] = {
+                "slots": eng.b,
+                "live": sum(s.busy for s in eng.slots),
+                "cursor": eng.pos,
+                "max_len": eng.s,
+                "compactions": eng.compactions,
+                "requests": len(tt),
+                "ttft_p50_s": round(tt[len(tt) // 2], 3) if tt else None,
+                "ttft_max_s": round(tt[-1], 3) if tt else None,
+            }
+        return out
 
     def _request_params(self, payload: dict):
         """Resolve the per-request params dict: explicit `lora` field, else a

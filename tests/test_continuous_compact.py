@@ -154,9 +154,11 @@ def test_compact_idle_resets_cursor():
     eng.join(ids, im, seed=5, max_new=3)
     while any(s.busy for s in eng.slots):
         eng.step()
-    assert eng.pos > 0
-    assert eng.compact() == 0 or eng.pos == 0  # idle path reclaims all
-    assert eng.pos == 0 if eng.compactions == 0 else True
+    pos = eng.pos
+    assert pos > 0
+    # the idle path reclaims the whole cursor without any cache rewrite
+    assert eng.compact() == pos
+    assert eng.pos == 0 and eng.compactions == 0
 
 
 # -- soak: staggered arrivals, zero truncations --------------------------------
