@@ -100,11 +100,16 @@ def main():
         kv_quant="int8" if preset != "tiny" else None)
     ds = SynthClips(cfg, n_clips)
 
+    # slots x max_len must fit beside the weights: 8 x 4096 int8 = 8.6 GB
+    # (the serving default); 6144 only fits up to 4-5 slots
+    max_len = int(os.environ.get(
+        "PERF_MAXLEN", "4096" if preset != "tiny" else "1024"))
+
     def run(batched):
         t0 = time.perf_counter()
         r = evaluate_epic_kitchen_traj(
             engine, ds, seed=1, log_every=0, batched=batched,
-            batched_max_len=6144 if preset != "tiny" else 1024,
+            batched_max_len=max_len,
             batched_chunk=16 if preset != "tiny" else 4)
         return time.perf_counter() - t0, r
 
