@@ -160,25 +160,64 @@ def test_int4_tp_generate_chunked_runs():
     """Full generate_chunked with tp_mesh + rule-sharded int4 params:
     exercises prefill, chunked decode, and the hand-waypoint hook through
     the shard_map wrappers end-to-end (output sanity, not bit parity —
-    see test_int4_tp_decode_step_matches_unsharded)."""
-    cfg = tiny_config()
-    params = init_handsonvlm(jax.random.PRNGKey(0), cfg)
-    params = dict(params)
-    params["llama"] = quantize_llama_int4(dict(params["llama"]), group=16)
-    ids, images = _prompt(cfg)
+    see test_int4_tp_decode_step_matches_unsharded).
 
-    mesh = create_mesh(data=4, model=2)
-    sharded = shard_params(params, mesh)
-    out = generate_chunked(
-        sharded, cfg, jnp.asarray(ids), jnp.asarray(images),
-        jax.random.PRNGKey(3), max_new_tokens=8, temperature=0.0,
-        attn_impl="auto", chunk=4, tp_mesh=mesh,
+    Runs in a SUBPROCESS: this is the largest CPU-XLA compile in the
+    suite (8-way shard_map over the full model + pallas kernels), and
+    compiling it late in a long pytest process segfaults inside XLA's
+    CPU backend_compile_and_load (reproduced twice at the same test on
+    an idle machine; passes alone and in every small combination — a
+    cumulative process-state compiler crash, not a code defect). A fresh
+    interpreter makes the compile deterministic."""
+    import subprocess
+    import sys
+    import textwrap
+
+    code = textwrap.dedent(
+        """
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import jax.numpy as jnp
+        import numpy as np
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from tests.test_tp_kernels import _prompt
+        from handsonvlm_tpu.core.config import tiny_config
+        from handsonvlm_tpu.infer.sampler import generate_chunked
+        from handsonvlm_tpu.models.handsonvlm import init_handsonvlm
+        from handsonvlm_tpu.ops.int8_matmul import quantize_llama_int4
+        from handsonvlm_tpu.parallel.mesh import create_mesh
+        from handsonvlm_tpu.parallel.partition import shard_params
+
+        cfg = tiny_config()
+        params = init_handsonvlm(jax.random.PRNGKey(0), cfg)
+        params = dict(params)
+        params["llama"] = quantize_llama_int4(dict(params["llama"]), group=16)
+        ids, images = _prompt(cfg)
+        mesh = create_mesh(data=4, model=2)
+        sharded = shard_params(params, mesh)
+        out = generate_chunked(
+            sharded, cfg, jnp.asarray(ids), jnp.asarray(images),
+            jax.random.PRNGKey(3), max_new_tokens=8, temperature=0.0,
+            attn_impl="auto", chunk=4, tp_mesh=mesh,
+        )
+        n = int(out.num_tokens[0])
+        assert 1 <= n <= 8
+        seq = np.asarray(out.sequences[0, :n])
+        assert ((seq >= 0) & (seq < cfg.llama.vocab_size)).all()
+        assert np.isfinite(np.asarray(out.pred_hands)).all()
+        print("TP_GENERATE_OK")
+        """
     )
-    n = int(out.num_tokens[0])
-    assert 1 <= n <= 8
-    seq = np.asarray(out.sequences[0, :n])
-    assert ((seq >= 0) & (seq < cfg.llama.vocab_size)).all()
-    assert np.isfinite(np.asarray(out.pred_hands)).all()
+    import os
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8").strip()
+    proc = subprocess.run([sys.executable, "-c", code], env=env,
+                          capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stdout[-800:] + proc.stderr[-800:]
+    assert "TP_GENERATE_OK" in proc.stdout
 
 
 def test_decode_attention_tp_window_matches_unsharded():
