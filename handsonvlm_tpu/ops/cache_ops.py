@@ -94,8 +94,12 @@ def gather_cache_blocks(c, table, *, block_k: int, seq_axis: int = 2):
         ),
         out_shape=[jax.ShapeDtypeStruct(c.shape, c.dtype)],
         # flattened operand indexing counts the scalar-prefetch table first:
-        # 0 = table, 1 = the cache plane -> aliased onto output 0
-        input_output_aliases={1: 0},
+        # 0 = table, 1 = the cache plane -> aliased onto output 0.
+        # TPU-only: the in-place alias is an HBM-capacity measure; under
+        # the CPU interpreter it buys nothing and aliased donated buffers
+        # in interpret mode are a heap-corruption suspect (late-suite
+        # XLA-CPU compile segfaults appeared with these tests — CLAUDE.md)
+        input_output_aliases={} if _interpret() else {1: 0},
         interpret=_interpret(),
     )(scalars, c)[0]
 
