@@ -196,13 +196,17 @@ def run_single():
         )
 
         bank = build_template_bank(tok, cfg, ("open the fridge",))
+        spec_stats = {}
 
         def run(seed):
-            out, _ = generate_spec(
+            out, stats = generate_spec(
                 params, cfg, ids_j, images_unique, jax.random.PRNGKey(seed),
                 max_new_tokens=max_new, k=spec_k, temperature=temp, top_p=0.9,
                 frame_map=frame_map, bank_ids=bank, kv_quant=kv_quant,
             )
+            spec_stats.update(
+                gated=stats["gated"], iters=stats["iters"],
+                tok_per_fwd=round(stats["tokens"] / max(stats["iters"], 1), 3))
             return out
     else:
         def run(seed):
@@ -228,7 +232,7 @@ def run_single():
     # (headline mode only: secondary modes inherit the headline's baseline
     # via the orchestrator — the no-cache program is mode-independent work)
     if skip_baseline:
-        print(json.dumps({
+        rec = {
             "metric": f"decode_tokens_per_sec_{preset}"
             + ("_int8" if use_int8 else "_int4" if use_int4 else "")
             + (f"_spec{spec_k}" if spec_k > 0 else "")
@@ -239,7 +243,10 @@ def run_single():
             "platform": platform,
             "new_tokens": max_new,
             "wall_s": round(time.time() - t_start, 1),
-        }))
+        }
+        if spec_k > 0:
+            rec["spec"] = spec_stats  # gated / iters / tok_per_fwd telemetry
+        print(json.dumps(rec))
         return
     gen_len = max_new // 2
     full_ids = np.concatenate(
@@ -474,9 +481,9 @@ def run_long_single():
         # per-call constants (incl. the entry copy) either way, so the
         # kv8/bf16 numbers stay comparable; the cursor is re-pinned
         # between calls.
-        donate = (1,) if kv_quant != "int8" else ()
+        donate = kv_quant != "int8"
 
-        @functools.partial(jax.jit, donate_argnums=donate)
+        @functools.partial(jax.jit, donate_argnums=(1,) if donate else ())
         def chunk(params, cache, x):
             def body(i, state):
                 x, cache, acc = state
@@ -486,9 +493,15 @@ def run_long_single():
                 x = (x + hidden * jnp.bfloat16(1e-3)).astype(jnp.bfloat16)
                 return x, cache, acc + hidden[:, :, :1].sum()
 
-            _, cache, acc = jax.lax.fori_loop(
+            _, cache2, acc = jax.lax.fori_loop(
                 0, k_steps, body, (x, cache, 0.0))
-            return acc, cache
+            # non-donated variant must NOT output the cache: the caller
+            # would have to rebind it, and every dropped 4.8 GB buffer is
+            # LOST to the allocator (freed memory never returns —
+            # CLAUDE.md). Returning only acc lets XLA keep the final
+            # carry internal; the bf16 variant donates, so input==output
+            # buffer and rebinding is free.
+            return (acc, cache2) if donate else acc
 
         return chunk
 
@@ -498,17 +511,26 @@ def run_long_single():
         fn = make_chunk(k_steps)
         x0 = jax.random.normal(jax.random.PRNGKey(3), (b, 1, cfg.hidden_size),
                                jnp.bfloat16)
-        acc, cache = fn(params, cache, x0)  # compile
-        np.asarray(jax.device_get(acc))
+        out = fn(params, cache, x0)  # compile
+        if kv_quant != "int8":
+            _, cache = out
+            np.asarray(jax.device_get(out[0]))
+        else:
+            np.asarray(jax.device_get(out))
         times = []
         for rep in range(5):
-            cache = dataclasses.replace(
-                cache, index=jnp.asarray(cursor, jnp.int32))
+            if kv_quant != "int8":
+                cache = dataclasses.replace(
+                    cache, index=jnp.asarray(cursor, jnp.int32))
             xr = jax.random.normal(jax.random.PRNGKey(10 + rep),
                                    (b, 1, cfg.hidden_size), jnp.bfloat16)
             np.asarray(jax.device_get(xr[0, 0, :1]))
             t0 = time.perf_counter()
-            acc, cache = fn(params, cache, xr)
+            out = fn(params, cache, xr)
+            if kv_quant != "int8":
+                acc, cache = out
+            else:
+                acc = out
             np.asarray(jax.device_get(acc))
             times.append(time.perf_counter() - t0)
         res[k_steps] = float(np.median(times))

@@ -141,8 +141,8 @@ def spec_verify(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "k", "iters", "temperature", "top_p", "eos_token_id",
-        "attn_impl", "max_new_tokens",
+        "cfg", "k", "iters", "max_new_tokens", "temperature", "top_p",
+        "eos_token_id", "attn_impl", "skip_cond",
     ),
 )
 def spec_chunk(
@@ -160,12 +160,22 @@ def spec_chunk(
     top_p: float,
     eos_token_id: int,
     attn_impl: str,
+    skip_cond: bool = False,
 ):
     """`iters` speculative forwards in one dispatch (fori_loop), each
-    emitting 1..k+1 tokens. B=1."""
+    emitting 1..k+1 tokens. B=1.
+
+    `skip_cond` removes the finished-early-exit lax.cond around the body:
+    a cond over a cache-carrying state breaks in-place cache aliasing
+    (copy-unification — the CLAUDE.md decode-loop trap), taxing EVERY
+    iteration to save only the overshoot ones. Callers that bound `iters`
+    to the tokens actually remaining (the gated k=0 continuation) pay no
+    overshoot and should skip the cond."""
     embed_table = params["llama"]["embed"]["weight"]
 
     def body(_, carry):
+        if skip_cond:
+            return _active_body(carry)
         # finished iterations skip the whole forward via lax.cond — a chunk
         # that overshoots EOS costs dispatch only, not 7B weight streams
         return jax.lax.cond(carry[1]["finished"], lambda c: c, _active_body, carry)
@@ -251,7 +261,34 @@ def spec_chunk(
         return cache, new_state, rng
 
     cache, state, rng = jax.lax.fori_loop(0, iters, body, (cache, state, rng))
-    return cache, state, rng
+    # pack the host sync into ONE tiny array: device_get of a (finished,
+    # n_tokens, iters) tuple costs three sequential ~35 ms tunnel round
+    # trips (tree_map transfers leaves one by one — CLAUDE.md)
+    sync = jnp.stack([
+        state["finished"].astype(jnp.float32),
+        state["n_tokens"].astype(jnp.float32),
+        state["iters"].astype(jnp.float32),
+    ])
+    return cache, state, rng, sync
+
+
+@jax.jit
+def _pack_final(state):
+    """Flatten the host-bound end-of-generate state into ONE f32 vector
+    (token ids < 2^24 are exact in f32): one tunnel round trip instead of
+    seven. Layout: tokens | pred_hands.flat | accept_hist | [n_tokens,
+    num_hands, iters, drafts_found]."""
+    return jnp.concatenate([
+        state["tokens"].astype(jnp.float32),
+        state["pred_hands"].astype(jnp.float32).reshape(-1),
+        state["accept_hist"].astype(jnp.float32),
+        jnp.stack([
+            state["n_tokens"].astype(jnp.float32),
+            state["num_hands"].astype(jnp.float32),
+            state["iters"].astype(jnp.float32),
+            state["drafts_found"].astype(jnp.float32),
+        ]),
+    ])
 
 
 def generate_spec(
@@ -374,19 +411,33 @@ def generate_spec(
     gated = False
     streamed = 1
     first_chunk = True
+    n_now = 1
     while True:
         rng, r_chunk = jax.random.split(rng)
-        iters = probe_iters if (gating and first_chunk) else chunk_iters
-        cache, state, _ = spec_chunk(
+        if gating and first_chunk:
+            # probe: bounded overshoot (<= probe_iters-1 forwards after an
+            # early EOS), so the cond's per-iteration aliasing tax is the
+            # worse deal — skip it
+            iters, sk = probe_iters, True
+        elif gated and on_token is None:
+            # k=0 emits exactly 1 token per forward: the remaining-token
+            # count IS the exact iteration bound — zero overshoot, cond-free
+            iters, sk = max(1, max_new_tokens - n_now), True
+        elif gated:
+            iters, sk = chunk_iters, True  # streaming: overshoot <= chunk
+        else:
+            # speculative continuation: acceptance makes iters=max_new an
+            # overshooting bound — the cond's skip pays for itself here
+            iters, sk = chunk_iters, False
+        cache, state, _, sync = spec_chunk(
             params, cfg, cache, cache_mask, state, r_chunk,
             k=k_run, iters=iters, max_new_tokens=max_new_tokens,
             temperature=temperature, top_p=top_p,
-            eos_token_id=eos_token_id, attn_impl=attn_impl,
+            eos_token_id=eos_token_id, attn_impl=attn_impl, skip_cond=sk,
         )
-        # ONE host sync per chunk: each device_get is a ~30 ms tunnel trip
-        done_arr, n_arr, it_arr = jax.device_get(
-            (state["finished"], state["n_tokens"], state["iters"]))
-        done, n_now, n_fwd = bool(done_arr), int(n_arr), int(it_arr)
+        # ONE host round trip per chunk (packed in-program; CLAUDE.md)
+        sync = np.asarray(jax.device_get(sync))
+        done, n_now, n_fwd = bool(sync[0]), int(sync[1]), int(sync[2])
         if gating and first_chunk and not done and n_fwd > 0:
             # probe verdict: below the break-even acceptance, continue the
             # SAME loop with k=0 (sequential cost, identical semantics)
@@ -410,12 +461,24 @@ def generate_spec(
         if done or n_now >= max_new_tokens:
             break
 
-    # one bulk fetch for everything the host needs (vs 6 tunnel round trips)
-    fetched = jax.device_get(
-        {k_: state[k_] for k_ in
-         ("n_tokens", "tokens", "pred_hands", "num_hands", "iters",
-          "drafts_found", "accept_hist")}
-    )
+    # ONE packed round trip for everything the host needs: device_get of a
+    # dict transfers leaves sequentially (~35 ms each — 7 trips, ~245 ms of
+    # pure latency per generate call before this packing; CLAUDE.md)
+    packed = np.asarray(jax.device_get(_pack_final(state)))
+    acc_n = state["tokens"].shape[0]
+    hist_n = state["accept_hist"].shape[0]
+    fetched = {
+        "tokens": packed[:acc_n].astype(np.int32),
+        "pred_hands": packed[acc_n:acc_n + MAX_HAND_STEPS * 4].reshape(
+            MAX_HAND_STEPS, 2, 2),
+        "accept_hist": packed[acc_n + MAX_HAND_STEPS * 4:
+                              acc_n + MAX_HAND_STEPS * 4 + hist_n
+                              ].astype(np.int32),
+        "n_tokens": int(packed[-4]),
+        "num_hands": int(packed[-3]),
+        "iters": int(packed[-2]),
+        "drafts_found": int(packed[-1]),
+    }
     n = min(int(fetched["n_tokens"]), max_new_tokens)
     tokens = np.asarray(fetched["tokens"])[:max_new_tokens]
     # EOS truncation: tokens after the first EOS are garbage slots
