@@ -233,7 +233,7 @@ def _layer(
     `layer_idx` via scalar prefetch — scan-slicing quantized weights would
     make every pallas operand a materialized copy (3x HBM traffic,
     docs/PERF_NOTES.md)."""
-    from handsonvlm_tpu.models.lora import lora_delta
+    from handsonvlm_tpu.models.lora import lora_delta, lora_delta_multi
     from handsonvlm_tpu.ops.int8_matmul import int4_matmul_stacked, maybe_int8_matmul
 
     b, t, d = hidden.shape
@@ -257,20 +257,33 @@ def _layer(
         return int4_matmul_stacked(x, w, g, layer_idx)
 
     x = rms_norm(hidden, lp["attn_norm"]["scale"], cfg.rms_norm_eps)
+    # qkv adapter deltas share the input x: lora_delta_multi groups their
+    # 6 sub-MXU dots into 2 (one concat-A GEMM + one batched dot) and,
+    # when q/k/v widths match, one full-width add (the split path's
+    # 14-small-dots scheduling tax — docs/PERF_NOTES.md "Adapter-tax")
+    dqkv = lora_delta_multi(lora_layer, ("wq", "wk", "wv"), x, lora_scale)
     if int4_stacked is not None:
         qkv = iproj(x, "wqkv")
-        q, kx, vx = (
-            qkv[..., : h * hd] + lora_delta(lora_layer, "wq", x, lora_scale),
-            qkv[..., h * hd: (h + k) * hd] + lora_delta(lora_layer, "wk", x, lora_scale),
-            qkv[..., (h + k) * hd:] + lora_delta(lora_layer, "wv", x, lora_scale),
-        )
+        if isinstance(dqkv, tuple):
+            q = qkv[..., : h * hd] + dqkv[0]
+            kx = qkv[..., h * hd: (h + k) * hd] + dqkv[1]
+            vx = qkv[..., (h + k) * hd:] + dqkv[2]
+        else:
+            qkv = qkv + dqkv
+            q = qkv[..., : h * hd]
+            kx = qkv[..., h * hd: (h + k) * hd]
+            vx = qkv[..., (h + k) * hd:]
         q = q.reshape(b, t, h, hd)
         kx = kx.reshape(b, t, k, hd)
         vx = vx.reshape(b, t, k, hd)
     else:
-        q = proj(x, "wq").reshape(b, t, h, hd)
-        kx = proj(x, "wk").reshape(b, t, k, hd)
-        vx = proj(x, "wv").reshape(b, t, k, hd)
+        if not isinstance(dqkv, tuple):
+            qh, kh = h * hd, k * hd
+            dqkv = ((0.0, 0.0, 0.0) if isinstance(dqkv, float) else
+                    (dqkv[..., :qh], dqkv[..., qh:qh + kh], dqkv[..., qh + kh:]))
+        q = (maybe_int8_matmul(x, lp["attn"]["wq"]) + dqkv[0]).reshape(b, t, h, hd)
+        kx = (maybe_int8_matmul(x, lp["attn"]["wk"]) + dqkv[1]).reshape(b, t, k, hd)
+        vx = (maybe_int8_matmul(x, lp["attn"]["wv"]) + dqkv[2]).reshape(b, t, k, hd)
     q = apply_rope(q, cos, sin)
     kx = apply_rope(kx, cos, sin)
 
@@ -411,17 +424,26 @@ def _layer(
         x = rms_norm(hidden, lp["mlp_norm"]["scale"], cfg.rms_norm_eps)
         gu = iproj(x, "wgu")
         f = cfg.intermediate_size
-        gate = jax.nn.silu(gu[..., :f] + lora_delta(lora_layer, "w_gate", x, lora_scale))
-        up = gu[..., f:] + lora_delta(lora_layer, "w_up", x, lora_scale)
-        gu = gate * up
+        dgu = lora_delta_multi(lora_layer, ("w_gate", "w_up"), x, lora_scale)
+        if isinstance(dgu, tuple):
+            gate_in, up = gu[..., :f] + dgu[0], gu[..., f:] + dgu[1]
+        else:
+            gu = gu + dgu
+            gate_in, up = gu[..., :f], gu[..., f:]
+        gu = jax.nn.silu(gate_in) * up
         hidden = hidden + iproj(gu, "w_down") + lora_delta(lora_layer, "w_down", gu, lora_scale)
         return hidden, new_kv
 
     hidden = hidden + proj(out, "wo")
 
     x = rms_norm(hidden, lp["mlp_norm"]["scale"], cfg.rms_norm_eps)
-    gate = jax.nn.silu(proj(x, "w_gate", "mlp"))
-    up = proj(x, "w_up", "mlp")
+    dgu = lora_delta_multi(lora_layer, ("w_gate", "w_up"), x, lora_scale)
+    if not isinstance(dgu, tuple):
+        f = cfg.intermediate_size
+        dgu = ((0.0, 0.0) if isinstance(dgu, float)
+               else (dgu[..., :f], dgu[..., f:]))
+    gate = jax.nn.silu(maybe_int8_matmul(x, lp["mlp"]["w_gate"]) + dgu[0])
+    up = maybe_int8_matmul(x, lp["mlp"]["w_up"]) + dgu[1]
     hidden = hidden + proj(gate * up, "w_down", "mlp")
     return hidden, new_kv
 

@@ -87,6 +87,79 @@ def lora_delta(lora_layer: Optional[Dict], name: str, x: jnp.ndarray, scale: flo
     return (((x @ ad["a"]) @ ad["b"]) * scale).astype(x.dtype)
 
 
+def lora_delta_multi(
+    lora_layer: Optional[Dict],
+    names: Sequence[str],
+    x: jnp.ndarray,
+    scale: float,
+):
+    """Deltas for several targets sharing the SAME input x.
+
+    Returns 0.0 (nothing targeted), a single concatenated delta
+    (..., sum(dout)) the caller adds to a fused base projection in one
+    full-width add, or a tuple of per-target deltas (output widths
+    differ / partial targeting / grouping disabled). Callers must handle
+    all three — `isinstance(d, tuple)` then `d is 0.0`.
+
+    HANDSONVLM_LORA_GROUPED=0 forces the split per-target path (A/B
+    knob; read at trace time)."""
+    if lora_layer is None or not any(n in lora_layer for n in names):
+        return 0.0
+    if (_os.environ.get("HANDSONVLM_LORA_GROUPED", "1") != "1"
+            or any(n not in lora_layer for n in names)):
+        return tuple(lora_delta(lora_layer, n, x, scale) for n in names)
+    return _lora_delta_grouped(lora_layer, names, x, scale)
+
+
+def _lora_delta_grouped(
+    lora_layer: Dict,
+    names: Sequence[str],
+    x: jnp.ndarray,
+    scale: float,
+):
+    """Grouped low-rank path for targets sharing the SAME input x.
+
+    The split path issues 2 dots per target (14 per decoder layer at the
+    default 7 targets), each a sub-MXU (r=128) GEMM interleaved with the
+    base GEMMs — measured as a ~46 ms/step scheduling/HBM tax at 7B QLoRA
+    that is dtype-INsensitive, i.e. not dot compute
+    (docs/PERF_NOTES.md "Adapter-tax follow-ups"). Grouping the
+    shared-input targets (wq/wk/wv on the attention input, w_gate/w_up on
+    the MLP input) fuses their first dots into ONE x @ [A_1|...|A_n] GEMM
+    and their second dots into ONE batched dot_general, and — when the
+    output widths match — returns a single concatenated delta the caller
+    adds to the fused base projection in one full-width add.
+
+    Reductions are unchanged per target (the concat/stack touch only
+    non-contracted dims), so this is numerically the split path modulo
+    XLA tiling. Returns the concatenated delta (..., sum(dout)) or a
+    tuple of per-target deltas when widths differ.
+    """
+    ads = [lora_layer[n] for n in names]
+    r = ads[0]["a"].shape[-1]
+    douts = [ad["b"].shape[-1] for ad in ads]
+    a_cat = jnp.concatenate([ad["a"] for ad in ads], axis=-1)  # (din, n*r)
+    compute_bf16 = LORA_COMPUTE_BF16 and x.dtype == jnp.bfloat16
+    if compute_bf16:
+        a_cat = a_cat.astype(jnp.bfloat16)
+    u = x @ a_cat  # (..., n*r): one MXU dot for all first stages
+    if len(set(douts)) == 1:
+        b_stk = jnp.stack([ad["b"] for ad in ads])  # (n, r, dout)
+        if compute_bf16:
+            b_stk = b_stk.astype(jnp.bfloat16)
+        un = u.reshape(*u.shape[:-1], len(ads), r)
+        # batch-dim dot_general: n independent (r -> dout) contractions
+        d = jnp.einsum("...nr,nro->...no", un, b_stk)
+        d = d.reshape(*u.shape[:-1], len(ads) * douts[0])
+        return (d * scale).astype(x.dtype)
+    parts = []
+    for i, ad in enumerate(ads):
+        b_i = ad["b"].astype(jnp.bfloat16) if compute_bf16 else ad["b"]
+        parts.append(
+            ((u[..., i * r:(i + 1) * r] @ b_i) * scale).astype(x.dtype))
+    return tuple(parts)
+
+
 def merge_lora(llama_params: Dict, lora: Dict) -> Dict:
     """Fold adapters into the base weights (export / fast inference)."""
     scale = lora["scale"]

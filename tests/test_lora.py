@@ -74,6 +74,47 @@ def test_lora_with_kv_cache_decode():
     np.testing.assert_allclose(np.asarray(step[:, 0]), np.asarray(full[:, 5]), atol=1e-5)
 
 
+def test_lora_grouped_matches_split():
+    """Grouped shared-input adapter dots (lora_delta_multi, the default)
+    reproduce the split per-target path — values AND adapter grads — on
+    both MHA (concat fast path) and GQA (tuple fallback: q/kv widths
+    differ)."""
+    import os
+
+    configs = [CFG, LlamaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_layers=2, num_heads=4, num_kv_heads=2,
+        max_position_embeddings=64)]
+    for cfg in configs:
+        params = init_llama(jax.random.PRNGKey(0), cfg)
+        lora = init_lora(jax.random.PRNGKey(1), cfg, r=4)
+        lora["adapters"] = jax.tree_util.tree_map(
+            lambda x: x + 0.02, lora["adapters"])
+        ids = jnp.asarray(np.arange(10)[None] % 100)
+        labels = jnp.asarray((np.arange(10)[None] + 1) % 100)
+
+        def loss_fn(lora):
+            hidden, _ = apply_llama(
+                params, cfg, input_ids=ids, attn_impl="xla", lora=lora)
+            logits = lm_logits(params, cfg, hidden)
+            logp = jax.nn.log_softmax(logits, -1)
+            return -jnp.take_along_axis(logp, labels[..., None], -1).mean()
+
+        outs = {}
+        for flag in ("1", "0"):
+            os.environ["HANDSONVLM_LORA_GROUPED"] = flag
+            try:
+                loss, grads = jax.value_and_grad(loss_fn)(lora)
+            finally:
+                os.environ.pop("HANDSONVLM_LORA_GROUPED", None)
+            outs[flag] = (float(loss), grads)
+        np.testing.assert_allclose(outs["1"][0], outs["0"][0], rtol=1e-6)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6),
+            outs["1"][1], outs["0"][1])
+
+
 def test_lora_bf16_compute_close():
     """bf16 adapter compute (HANDSONVLM_LORA_BF16) tracks the f32 path
     within bf16 rounding on a bf16 activation stream; f32 activations are

@@ -111,16 +111,29 @@ def main():
     # HANDSONVLM_REMAT accepts a comma list for an in-process policy sweep
     # (tunnel throughput varies 1.5-2x across processes — CLAUDE.md; the
     # weight tree and optimizer state are shared across policies).
+    # PERF_LORA_GROUPED="1,0" additionally sweeps the grouped-vs-split
+    # adapter-dot layout (models/lora.lora_delta_multi; the flag is read
+    # at trace time, so it is pinned per step-fn at first call).
     remats = [x for x in os.environ.get("HANDSONVLM_REMAT", "full").split(",") if x]
-    steps_by_remat = {rm: make_train_step(cfg, tx, remat=rm) for rm in remats}
+    groupeds = [x for x in os.environ.get("PERF_LORA_GROUPED", "").split(",") if x]
+    steps_by_remat = {}
+    for rm in remats:
+        if groupeds:
+            for g in groupeds:
+                steps_by_remat[f"{rm}/grouped={g}"] = (
+                    make_train_step(cfg, tx, remat=rm), g)
+        else:
+            steps_by_remat[rm] = (make_train_step(cfg, tx, remat=rm), None)
 
     t_spliced = t + cfg.num_visual_tokens - 1
     for b in bs:
         batches = [make_batch(cfg, b, t, n_frames, seed=s) for s in range(2)]
-        for rm, step in steps_by_remat.items():
+        for rm, (step, grouped) in steps_by_remat.items():
             # the step donates the state, so ONE evolving chain threads
             # through every policy/batch (a dead chain's buffers would be
             # lost to the allocator — CLAUDE.md freed-memory bug)
+            if grouped is not None:  # pinned into this step fn at trace time
+                os.environ["HANDSONVLM_LORA_GROUPED"] = grouped
             try:
                 state, m = step(state, batches[0], jax.random.PRNGKey(0))  # compile
                 float(m["loss"])
