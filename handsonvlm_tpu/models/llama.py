@@ -149,7 +149,7 @@ def init_llama(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 
 
-REMAT_POLICIES = ("full", "dots", "dots_nobatch")
+REMAT_POLICIES = ("full", "dots", "dots_nobatch", "save_lora")
 
 
 def _remat(fn, remat):
@@ -168,6 +168,12 @@ def _remat(fn, remat):
     if remat == "dots_nobatch":
         return jax.checkpoint(
             fn, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    if remat == "save_lora":
+        # 'full' + keep the tiny (..., r) adapter first-stage outputs
+        # (models/lora checkpoint_name "lora_u"): the backward recompute
+        # skips the x@A dots at ~1 MB/layer/target of residency
+        return jax.checkpoint(
+            fn, policy=jax.checkpoint_policies.save_only_these_names("lora_u"))
     raise ValueError(f"unknown remat policy {remat!r} (use {REMAT_POLICIES})")
 
 
@@ -257,10 +263,9 @@ def _layer(
         return int4_matmul_stacked(x, w, g, layer_idx)
 
     x = rms_norm(hidden, lp["attn_norm"]["scale"], cfg.rms_norm_eps)
-    # qkv adapter deltas share the input x: lora_delta_multi groups their
-    # 6 sub-MXU dots into 2 (one concat-A GEMM + one batched dot) and,
-    # when q/k/v widths match, one full-width add (the split path's
-    # 14-small-dots scheduling tax — docs/PERF_NOTES.md "Adapter-tax")
+    # qkv adapter deltas share the input x: lora_delta_multi can group
+    # their sub-MXU dots (HANDSONVLM_LORA_GROUPED; split is the default —
+    # grouping measured slower at 7B, docs/PERF_NOTES.md "Adapter-tax")
     dqkv = lora_delta_multi(lora_layer, ("wq", "wk", "wv"), x, lora_scale)
     if int4_stacked is not None:
         qkv = iproj(x, "wqkv")

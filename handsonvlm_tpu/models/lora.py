@@ -13,6 +13,7 @@ from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from handsonvlm_tpu.core.config import LlamaConfig
 
@@ -83,8 +84,13 @@ def lora_delta(lora_layer: Optional[Dict], name: str, x: jnp.ndarray, scale: flo
     if LORA_COMPUTE_BF16 and x.dtype == jnp.bfloat16:
         a = ad["a"].astype(jnp.bfloat16)
         b = ad["b"].astype(jnp.bfloat16)
-        return (((x @ a) @ b) * scale).astype(x.dtype)
-    return (((x @ ad["a"]) @ ad["b"]) * scale).astype(x.dtype)
+    else:
+        a, b = ad["a"], ad["b"]
+    # named for the save_lora remat policy (llama._remat): the (..., r)
+    # first-stage output is tiny, saving it halves the adapter ops the
+    # backward recompute re-issues
+    u = checkpoint_name(x @ a, "lora_u")
+    return ((u @ b) * scale).astype(x.dtype)
 
 
 def lora_delta_multi(
@@ -101,14 +107,19 @@ def lora_delta_multi(
     differ / partial targeting / grouping disabled). Callers must handle
     all three — `isinstance(d, tuple)` then `d is 0.0`.
 
-    HANDSONVLM_LORA_GROUPED=0 forces the split per-target path (A/B
-    knob; read at trace time)."""
+    HANDSONVLM_LORA_GROUPED selects the layout (A/B knob; read at trace
+    time): "0" = split per-target dots (DEFAULT — the full grouped path
+    measured 299 vs 273 ms/step at 7B int8 QLoRA, docs/PERF_NOTES.md
+    round 4), "1" = fully grouped (concat-A GEMM + batched second dot +
+    one full-width add), "first" = group only the first-stage dots, keep
+    split second dots/adds."""
     if lora_layer is None or not any(n in lora_layer for n in names):
         return 0.0
-    if (_os.environ.get("HANDSONVLM_LORA_GROUPED", "1") != "1"
-            or any(n not in lora_layer for n in names)):
+    mode = _os.environ.get("HANDSONVLM_LORA_GROUPED", "0")
+    if mode not in ("1", "first") or any(n not in lora_layer for n in names):
         return tuple(lora_delta(lora_layer, n, x, scale) for n in names)
-    return _lora_delta_grouped(lora_layer, names, x, scale)
+    return _lora_delta_grouped(lora_layer, names, x, scale,
+                               first_only=mode == "first")
 
 
 def _lora_delta_grouped(
@@ -116,6 +127,7 @@ def _lora_delta_grouped(
     names: Sequence[str],
     x: jnp.ndarray,
     scale: float,
+    first_only: bool = False,
 ):
     """Grouped low-rank path for targets sharing the SAME input x.
 
@@ -133,7 +145,14 @@ def _lora_delta_grouped(
     Reductions are unchanged per target (the concat/stack touch only
     non-contracted dims), so this is numerically the split path modulo
     XLA tiling. Returns the concatenated delta (..., sum(dout)) or a
-    tuple of per-target deltas when widths differ.
+    tuple of per-target deltas when widths differ or first_only (group
+    the shared first-stage dot, keep split second dots/adds).
+
+    MEASURED (7B int8 base, r=128, remat=full, same-process A/B): fully
+    grouped is a ~26 ms/step REGRESSION vs split (299 vs 273 ms) — the
+    per-layer concat/stack materializations under the scan + remat
+    recompute outweigh the dot-count saving, so split stays the default
+    (docs/PERF_NOTES.md round 4 "Adapter-tax").
     """
     ads = [lora_layer[n] for n in names]
     r = ads[0]["a"].shape[-1]
@@ -142,8 +161,9 @@ def _lora_delta_grouped(
     compute_bf16 = LORA_COMPUTE_BF16 and x.dtype == jnp.bfloat16
     if compute_bf16:
         a_cat = a_cat.astype(jnp.bfloat16)
-    u = x @ a_cat  # (..., n*r): one MXU dot for all first stages
-    if len(set(douts)) == 1:
+    # (..., n*r): one MXU dot for all first stages
+    u = checkpoint_name(x @ a_cat, "lora_u")
+    if not first_only and len(set(douts)) == 1:
         b_stk = jnp.stack([ad["b"] for ad in ads])  # (n, r, dout)
         if compute_bf16:
             b_stk = b_stk.astype(jnp.bfloat16)

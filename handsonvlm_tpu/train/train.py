@@ -56,11 +56,12 @@ def main():
                         "adapter dots are ~6%% of base FLOPs at a fraction "
                         "of bf16 MXU rate — MFU probe knob")
     p.add_argument("--remat-policy", default="full",
-                   choices=["full", "dots", "dots_nobatch"],
+                   choices=["full", "dots", "dots_nobatch", "save_lora"],
                    help="gradient-checkpoint save policy over the decoder "
                         "scan: full = recompute everything (min memory, "
                         "reference recipe); dots = keep matmul outputs "
-                        "(fewer recomputed MXU flops, more HBM)")
+                        "(fewer recomputed MXU flops, more HBM); save_lora "
+                        "= full + keep the tiny LoRA first-stage outputs")
     p.add_argument("--mu-bf16", action="store_true",
                    help="bf16 Adam first moment (halves moment memory; "
                         "enables 13B QLoRA r=128 on one 16 GB chip)")

@@ -75,9 +75,9 @@ def test_lora_with_kv_cache_decode():
 
 
 def test_lora_grouped_matches_split():
-    """Grouped shared-input adapter dots (lora_delta_multi, the default)
-    reproduce the split per-target path — values AND adapter grads — on
-    both MHA (concat fast path) and GQA (tuple fallback: q/kv widths
+    """Grouped shared-input adapter dots (lora_delta_multi "1"/"first")
+    reproduce the split per-target default — values AND adapter grads —
+    on both MHA (concat fast path) and GQA (tuple fallback: q/kv widths
     differ)."""
     import os
 
@@ -101,18 +101,49 @@ def test_lora_grouped_matches_split():
             return -jnp.take_along_axis(logp, labels[..., None], -1).mean()
 
         outs = {}
-        for flag in ("1", "0"):
+        for flag in ("1", "first", "0"):
             os.environ["HANDSONVLM_LORA_GROUPED"] = flag
             try:
                 loss, grads = jax.value_and_grad(loss_fn)(lora)
             finally:
                 os.environ.pop("HANDSONVLM_LORA_GROUPED", None)
             outs[flag] = (float(loss), grads)
-        np.testing.assert_allclose(outs["1"][0], outs["0"][0], rtol=1e-6)
-        jax.tree_util.tree_map(
-            lambda a, b: np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), atol=1e-6),
-            outs["1"][1], outs["0"][1])
+        for flag in ("1", "first"):
+            np.testing.assert_allclose(outs[flag][0], outs["0"][0], rtol=1e-6)
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=1e-6),
+                outs[flag][1], outs["0"][1])
+
+
+def test_save_lora_remat_matches_full():
+    """remat='save_lora' (full recompute + saved lora_u first-stage
+    outputs) is a pure scheduling change: loss and adapter grads match
+    remat='full' exactly."""
+    params = init_llama(jax.random.PRNGKey(0), CFG)
+    lora = init_lora(jax.random.PRNGKey(1), CFG, r=4)
+    lora["adapters"] = jax.tree_util.tree_map(
+        lambda x: x + 0.02, lora["adapters"])
+    ids = jnp.asarray(np.arange(10)[None] % 100)
+    labels = jnp.asarray((np.arange(10)[None] + 1) % 100)
+
+    def make_loss(remat):
+        def loss_fn(lora):
+            hidden, _ = apply_llama(
+                params, CFG, input_ids=ids, attn_impl="xla", lora=lora,
+                remat=remat)
+            logits = lm_logits(params, CFG, hidden)
+            logp = jax.nn.log_softmax(logits, -1)
+            return -jnp.take_along_axis(logp, labels[..., None], -1).mean()
+        return loss_fn
+
+    l_full, g_full = jax.value_and_grad(make_loss("full"))(lora)
+    l_sl, g_sl = jax.value_and_grad(make_loss("save_lora"))(lora)
+    np.testing.assert_allclose(float(l_sl), float(l_full), rtol=1e-7)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-7),
+        g_sl, g_full)
 
 
 def test_lora_bf16_compute_close():

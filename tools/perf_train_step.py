@@ -111,9 +111,9 @@ def main():
     # HANDSONVLM_REMAT accepts a comma list for an in-process policy sweep
     # (tunnel throughput varies 1.5-2x across processes — CLAUDE.md; the
     # weight tree and optimizer state are shared across policies).
-    # PERF_LORA_GROUPED="1,0" additionally sweeps the grouped-vs-split
-    # adapter-dot layout (models/lora.lora_delta_multi; the flag is read
-    # at trace time, so it is pinned per step-fn at first call).
+    # PERF_LORA_GROUPED="1,first,0" additionally sweeps the adapter-dot
+    # layout (models/lora.lora_delta_multi; the flag is read at trace
+    # time, so it is pinned per step-fn at first call).
     remats = [x for x in os.environ.get("HANDSONVLM_REMAT", "full").split(",") if x]
     groupeds = [x for x in os.environ.get("PERF_LORA_GROUPED", "").split(",") if x]
     steps_by_remat = {}
