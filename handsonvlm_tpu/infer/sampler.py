@@ -103,10 +103,16 @@ def prefill(
     attn_impl: str = "auto",
     frame_map: Optional[jnp.ndarray] = None,
     tp_mesh=None,
+    positions_from_mask: bool = False,
 ) -> Tuple[jnp.ndarray, KVCache, jnp.ndarray]:
     """Encode video, splice, run the prompt through the decoder once.
 
     `frame_map` lets callers pass only unique frames (see encode_video).
+    `positions_from_mask` derives per-row rotary positions from the
+    post-splice mask (real tokens count 0..t_r-1 regardless of left
+    padding) instead of the default arange — the continuous engine's
+    grouped join uses it so a short row's stream stays position-EXACT vs
+    its solo decode (serve/continuous.join_many).
     Returns (last_hidden (B,D), cache, cache_attn_mask (B, max_len))."""
     b, t = input_ids.shape
     embed_table = params["llama"]["embed"]["weight"]
@@ -128,11 +134,15 @@ def prefill(
     cache_mask = jnp.concatenate(
         [sp.attn_mask, jnp.ones((b, max_len - t_out), bool)], axis=1
     )
+    positions = None
+    if positions_from_mask:
+        positions = jnp.clip(
+            jnp.cumsum(sp.attn_mask.astype(jnp.int32), axis=1) - 1, 0)
     hidden, cache = apply_llama(
         params["llama"], cfg.llama,
         inputs_embeds=sp.embeds, attn_mask=cache_mask,
         kv_cache=cache, attn_impl=attn_impl, lora=params.get("lora"),
-        tp_mesh=tp_mesh,
+        tp_mesh=tp_mesh, positions=positions,
     )
     return hidden[:, -1, :], cache, cache_mask
 

@@ -23,9 +23,11 @@ Design (shaped by this backend's measured constraints, docs/PERF_NOTES.md):
   tests/test_eval_batched.py).
 - RNG is per-row: step key = fold_in(row_key, local_step), so a request's
   sampled stream is also composition-independent.
-- Space: the cursor consumes sum(prompt buckets) + chunk * n_chunks of S.
-  `can_admit` refuses joins that would overrun; when all slots idle the
-  engine resets the cursor to 0 (the cache contents are dead then).
+- Space: the cursor consumes one prompt bucket per JOIN DISPATCH (a fused
+  group join places all its rows' prompts in the same span of their own
+  planes — join_many) + chunk * n_chunks of S. `can_admit` refuses joins
+  that would overrun; when all slots idle the engine resets the cursor to
+  0 (the cache contents are dead then); compact() reclaims dead blocks.
 
 The chunk step reuses the sampler's embed/hand-waypoint protocol
 (infer/sampler.decode_chunk semantics) with per-row keys and positions.
@@ -230,6 +232,88 @@ def _chunk_jit(params, cache, cache_mask, starts, steps, row_keys,
     return cache, tok, wp, fin, steps, packed
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "s1", "attn_impl", "kv_quant"),
+    donate_argnums=(1, 8, 9, 10, 11, 12, 13, 14, 15),
+)
+def _join_many_jit(params, cache, cfg: HandsOnVLMConfig, input_ids, attn,
+                   images, rows, at_pos, starts, steps, temps, top_ps,
+                   row_keys, cur_token, cur_waypoint, finished,
+                   start_vals, new_keys, new_temps, new_top_ps,
+                   eos_token_id, frame_map,
+                   *, s1: int, attn_impl: str, kv_quant: Optional[str]):
+    """`_join_jit` for n simultaneous requests in ONE dispatch.
+
+    The n prompts are LEFT-padded to a shared bucket and prefilled as one
+    B=n batch (one CLIP encode, one set of prompt GEMMs, one tunnel
+    round-trip instead of n), with per-row rotary positions derived from
+    the post-splice mask (prefill positions_from_mask) so every row's
+    stream stays position/rng-EXACT vs its solo decode. Each row's KV
+    plane is independent, so ALL n prompts splice into the SAME cursor
+    span [at_pos, at_pos+s1) of their own planes — a burst join consumes
+    ONE prompt bucket of the shared cursor instead of n (less
+    fragmentation => longer decode budget; the serial-join capacity model
+    burned a bucket per request, VERDICT r3 #3). Returns the updated
+    state + packed (n, 6) host sync [token, waypoint(4), finished]."""
+    n = input_ids.shape[0]
+    last_hidden, pcache, _ = prefill(
+        params, cfg, input_ids, images, s1, attn_mask=attn,
+        attn_impl=attn_impl, frame_map=frame_map, positions_from_mask=True)
+    if kv_quant == "int8":
+        pcache = quantize_kv_cache(pcache)
+        k, v, ks, vs = cache.k, cache.v, cache.ks, cache.vs
+        for r in range(n):
+            row = rows[r]
+            k = jax.lax.dynamic_update_slice(
+                k, pcache.k[:, r:r + 1], (0, row, at_pos, 0, 0))
+            v = jax.lax.dynamic_update_slice(
+                v, pcache.v[:, r:r + 1], (0, row, at_pos, 0, 0))
+            ks = jax.lax.dynamic_update_slice(
+                ks, pcache.ks[:, r:r + 1], (0, row, 0, at_pos))
+            vs = jax.lax.dynamic_update_slice(
+                vs, pcache.vs[:, r:r + 1], (0, row, 0, at_pos))
+        cache = dataclasses.replace(cache, k=k, v=v, ks=ks, vs=vs)
+    else:
+        k, v = cache.k, cache.v
+        for r in range(n):
+            row = rows[r]
+            k = jax.lax.dynamic_update_slice(
+                k, pcache.k[:, r:r + 1].astype(k.dtype), (0, row, at_pos, 0, 0))
+            v = jax.lax.dynamic_update_slice(
+                v, pcache.v[:, r:r + 1].astype(v.dtype), (0, row, at_pos, 0, 0))
+        cache = dataclasses.replace(cache, k=k, v=v)
+    cache = dataclasses.replace(
+        cache, index=jnp.asarray(at_pos + s1).astype(jnp.int32))
+
+    keys0 = jax.vmap(lambda key: jax.random.fold_in(key, 0))(new_keys)
+    r_tok = jax.vmap(lambda key: jax.random.split(key)[0])(keys0)
+    r_hand = jax.vmap(lambda key: jax.random.split(key)[1])(keys0)
+    logits = lm_logits(
+        params["llama"], cfg.llama, last_hidden[:, None, :])[:, 0]
+    token = _row_sample(r_tok, logits, new_temps, new_top_ps)
+    waypoint = jax.vmap(
+        lambda key, hr: decode_hand_waypoint(params, cfg, hr[None], key)[0]
+    )(r_hand, last_hidden).astype(jnp.float32)
+    fin = token == eos_token_id
+
+    starts = starts.at[rows].set(start_vals.astype(starts.dtype))
+    steps = steps.at[rows].set(1)
+    temps = temps.at[rows].set(new_temps.astype(temps.dtype))
+    top_ps = top_ps.at[rows].set(new_top_ps.astype(top_ps.dtype))
+    row_keys = row_keys.at[rows].set(new_keys.astype(row_keys.dtype))
+    cur_token = cur_token.at[rows].set(token.astype(cur_token.dtype))
+    cur_waypoint = cur_waypoint.at[rows].set(waypoint)
+    finished = finished.at[rows].set(fin)
+    packed = jnp.concatenate([
+        token[:, None].astype(jnp.float32),
+        waypoint.reshape(n, 4),
+        fin[:, None].astype(jnp.float32),
+    ], axis=1)
+    return (cache, starts, steps, temps, top_ps, row_keys, cur_token,
+            cur_waypoint, finished, packed)
+
+
 @dataclasses.dataclass
 class _Slot:
     busy: bool = False
@@ -303,6 +387,7 @@ class ContinuousEngine:
         self.slots = [_Slot() for _ in range(slots)]
         self._last_compact_pos = -1  # skip re-planning when nothing changed
         self.compactions = 0  # successful defrag events (telemetry/tests)
+        self.join_group_sizes: List[int] = []  # per-join n (telemetry/tests)
 
     # -- admission ----------------------------------------------------------
 
@@ -383,6 +468,94 @@ class ContinuousEngine:
             tokens=[tok0], wps=[wp0],
             hands=[tok0 == self.cfg.hand_token_id], done=tok0 == self.eos)
         return row
+
+    def join_many(self, requests) -> List[int]:
+        """Admit n requests in ONE fused dispatch (scheduler burst path).
+
+        Each request is a dict with input_ids (1,Tp), images, seed,
+        max_new and optional temperature/top_p/frame_map. Prompts are
+        LEFT-padded to the group's shared bucket (rotary positions stay
+        per-row exact — prefill positions_from_mask) and ALL planes share
+        one cursor span: the group consumes ONE prompt bucket, not n.
+        Caller contract (scheduler._admit): n <= free slots, image and
+        frame_map shapes match across the group, can_admit(max prompt
+        len) was checked. n==1 delegates to join()."""
+        self.join_group_sizes.append(len(requests))
+        if len(requests) == 1:
+            r = requests[0]
+            return [self.join(r["input_ids"], r["images"], seed=r["seed"],
+                              max_new=r["max_new"],
+                              temperature=r.get("temperature"),
+                              top_p=r.get("top_p"),
+                              frame_map=r.get("frame_map"))]
+        if self.idle() and self.pos > 0:
+            self.pos = 0
+            self.cache = dataclasses.replace(
+                self.cache, index=jnp.zeros((), jnp.int32))
+            self.mask[:] = False
+        n = len(requests)
+        id_rows = [np.asarray(r["input_ids"])[0] for r in requests]
+        plens = [row.shape[0] for row in id_rows]
+        p = max(plens)
+        s1 = self._bucket(p)
+        at = self.pos
+        if at + s1 + self.chunk > self.s:
+            raise RuntimeError("cache exhausted; check can_admit first")
+        free = [i for i, s in enumerate(self.slots) if not s.busy]
+        if len(free) < n:
+            raise RuntimeError(f"{n} joins but only {len(free)} free slots")
+        rows = free[:n]
+
+        ids = np.zeros((n, p), np.int32)
+        attn = np.zeros((n, p), bool)
+        for i, row in enumerate(id_rows):
+            ids[i, p - row.shape[0]:] = row
+            attn[i, p - row.shape[0]:] = True
+        images = jnp.concatenate(
+            [jnp.asarray(r["images"]) for r in requests], axis=0)
+        fmaps = [r.get("frame_map") for r in requests]
+        frame_map = (None if fmaps[0] is None
+                     else jnp.concatenate([jnp.asarray(m).reshape(1, -1)
+                                           for m in fmaps], axis=0))
+        temps = [self.temperature if r.get("temperature") is None
+                 else r["temperature"] for r in requests]
+        top_ps = [self.top_p if r.get("top_p") is None else r["top_p"]
+                  for r in requests]
+        t_outs = [pl + self.cfg.num_visual_tokens - 1 for pl in plens]
+        new_keys = jnp.stack(
+            [jax.random.PRNGKey(r["seed"]) for r in requests])
+
+        (self.cache, self.starts, self.steps, self.temps, self.top_ps,
+         self.row_keys, self.cur_token, self.cur_waypoint, self.finished,
+         packed) = _join_many_jit(
+            self.params, self.cache, self.cfg, jnp.asarray(ids),
+            jnp.asarray(attn), images, jnp.asarray(rows, jnp.int32), at,
+            self.starts, self.steps, self.temps, self.top_ps,
+            self.row_keys, self.cur_token, self.cur_waypoint, self.finished,
+            jnp.asarray([at + s1 - t for t in t_outs], jnp.int32),
+            new_keys, jnp.asarray(temps, jnp.float32),
+            jnp.asarray(top_ps, jnp.float32), self.eos, frame_map,
+            s1=s1, attn_impl=self.attn_impl, kv_quant=self.kv_quant)
+
+        t_pad = p + self.cfg.num_visual_tokens - 1
+        for i, row in enumerate(rows):
+            # left padding: row i's real span is the LAST t_outs[i] of the
+            # group's [at, at + t_pad) splice window
+            self.mask[row, :] = False
+            self.mask[row, at + t_pad - t_outs[i]:at + t_pad] = True
+        self.pos = at + s1
+
+        packed = np.asarray(jax.device_get(packed))
+        for i, row in enumerate(rows):
+            tok0 = int(packed[i, 0])
+            wp0 = packed[i, 1:5].reshape(2, 2).astype(np.float32)
+            self.slots[row] = _Slot(
+                busy=True, start=at + s1 - t_outs[i],
+                max_new=requests[i]["max_new"], seed=requests[i]["seed"],
+                tokens=[tok0], wps=[wp0],
+                hands=[tok0 == self.cfg.hand_token_id],
+                done=tok0 == self.eos)
+        return rows
 
     # -- decode -------------------------------------------------------------
 

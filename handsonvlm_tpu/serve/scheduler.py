@@ -141,10 +141,25 @@ class ContinuousScheduler:
                 self._live.clear()
                 raise
 
+    @staticmethod
+    def _shape_key(t: _Ticket):
+        """Tickets groupable into one fused join must agree on the device
+        array shapes the batched prefill stacks (prompt lengths may differ
+        — the engine left-pads)."""
+        fm = None if t.frame_map is None else np.asarray(t.frame_map).shape
+        return (getattr(t.images, "shape", None), fm)
+
     def _admit(self):
-        """Move pending tickets into free engine slots (chunk boundary)."""
+        """Move pending tickets into free engine slots (chunk boundary).
+
+        Consecutive shape-compatible tickets are admitted as ONE fused
+        group join (engine.join_many): one CLIP encode + prefill dispatch
+        and one shared prompt bucket for the whole group. Group sizes are
+        rounded down to powers of two so the set of compiled join
+        programs stays small (each remote 7B compile is minutes)."""
         eng = self.engine
         while True:
+            group: List[_Ticket] = []
             with self._cv:
                 if not self._pending:
                     return
@@ -167,26 +182,41 @@ class ContinuousScheduler:
                         head.event.set()
                         continue
                     return  # wait for live requests to finish / free space
-                self._pending.popleft()
+                free = sum(1 for s in eng.slots if not s.busy)
+                key = self._shape_key(head)
+                limit = 1 << (max(free, 1).bit_length() - 1)  # pow2 <= free
+                while (self._pending and len(group) < limit
+                       and self._shape_key(self._pending[0]) == key
+                       and eng.can_admit(
+                           max([self._pending[0].ids.shape[1]]
+                               + [g.ids.shape[1] for g in group]))):
+                    group.append(self._pending.popleft())
+                # shrink to a power of two (1,2,4,...) to bound compiles
+                keep = 1 << (len(group).bit_length() - 1)
+                while len(group) > keep:
+                    self._pending.appendleft(group.pop())
             try:
-                row = eng.join(head.ids, head.images, seed=head.seed,
-                               max_new=head.max_new,
-                               temperature=head.temperature,
-                               top_p=head.top_p, frame_map=head.frame_map)
+                rows = eng.join_many([
+                    dict(input_ids=t.ids, images=t.images, seed=t.seed,
+                         max_new=t.max_new, temperature=t.temperature,
+                         top_p=t.top_p, frame_map=t.frame_map)
+                    for t in group])
             except Exception as e:  # noqa: BLE001 — surface to the client
-                head.error = str(e)
-                head.event.set()
+                for t in group:
+                    t.error = str(e)
+                    t.event.set()
                 continue
-            # the join produced the request's first token — TTFT ends here
-            self.ttfts.append(time.perf_counter() - head.t_submit)
-            self._live[row] = head
-            self._stream(row, head)
-            # first token may already be EOS / max_new==1
-            slot = eng.slots[row]
-            if slot.done or len(slot.tokens) >= slot.max_new:
-                out = eng._finalize(slot)
-                eng.slots[row] = type(slot)()
-                self._finish(row, out)
+            for row, t in zip(rows, group):
+                # the join produced the request's first token — TTFT ends here
+                self.ttfts.append(time.perf_counter() - t.t_submit)
+                self._live[row] = t
+                self._stream(row, t)
+                # first token may already be EOS / max_new==1
+                slot = eng.slots[row]
+                if slot.done or len(slot.tokens) >= slot.max_new:
+                    out = eng._finalize(slot)
+                    eng.slots[row] = type(slot)()
+                    self._finish(row, out)
 
     def _step_once(self):
         eng = self.engine

@@ -144,3 +144,56 @@ def test_admission_and_reset():
     huge = np.full((1, 400), 7, np.int64)
     huge[0, 1] = IMAGE_TOKEN_INDEX
     assert not eng2.can_admit(400)
+
+
+@pytest.mark.parametrize("kv_quant", [None, "int8"])
+def test_join_many_matches_solo(kv_quant):
+    """A fused group join (3 requests, different prompt lengths -> left
+    padding inside the shared bucket) reproduces each request's solo
+    stream exactly — tokens AND waypoints (per-row rotary positions come
+    from the post-splice mask, so they are position/rng-exact vs solo) —
+    and consumes ONE prompt bucket of the shared cursor, not three."""
+    kwargs = dict(max_len=512, chunk=4, temperature=0.5, attn_impl="xla",
+                  kv_quant=kv_quant)
+    reqs = [(_prompt(11, 10), 101, 9), (_prompt(12, 7), 202, 11),
+            (_prompt(13, 13), 303, 7)]
+    solo = [_run_solo(kwargs, ids, im, seed, mn)
+            for (ids, im), seed, mn in reqs]
+
+    eng = ContinuousEngine(PARAMS, CFG, slots=4, **kwargs)
+    rows = eng.join_many([
+        dict(input_ids=ids, images=im, seed=seed, max_new=mn)
+        for (ids, im), seed, mn in reqs])
+    assert len(set(rows)) == 3
+    # the whole group shares one bucket: cursor advanced by bucket(max plen)
+    assert eng.pos == eng._bucket(13)
+    assert eng.join_group_sizes == [3]
+
+    results = {}
+    for _ in range(40):
+        for r, out in eng.step():
+            results[r] = out
+        if len(results) == 3:
+            break
+    assert len(results) == 3
+    for row, ((ids, im), seed, mn), ref in zip(rows, reqs, solo):
+        out = results[row]
+        n = int(out.num_tokens[0])
+        assert n == int(ref.num_tokens[0])
+        np.testing.assert_array_equal(
+            np.asarray(out.sequences[0, :n]),
+            np.asarray(ref.sequences[0, :n]))
+        np.testing.assert_allclose(np.asarray(out.pred_hands),
+                                   np.asarray(ref.pred_hands), atol=1e-6)
+        assert int(out.num_hands[0]) == int(ref.num_hands[0])
+
+
+def test_join_many_single_delegates():
+    """n==1 falls through to join() — no second compiled join variant."""
+    ids, images = _prompt(21, 9)
+    eng = ContinuousEngine(PARAMS, CFG, slots=2, max_len=512, chunk=4,
+                           temperature=0.0, attn_impl="xla")
+    rows = eng.join_many([dict(input_ids=ids, images=images, seed=5,
+                               max_new=6)])
+    assert len(rows) == 1 and eng.slots[rows[0]].busy
+    assert eng.join_group_sizes == [1]

@@ -192,3 +192,57 @@ def test_worker_continuous_e2e():
     finally:
         worker.stop()
         server.shutdown()
+
+
+def test_grouped_admission_parity(monkeypatch):
+    """A burst of 4 same-shape submits against an all-free engine admits
+    as ONE fused group join (join_group_sizes records a 4) and every
+    request still matches its solo run exactly."""
+    # gate the loop thread's admission so all 4 tickets are provably
+    # pending at one chunk boundary (ungated, admission races enqueueing
+    # and the group splits nondeterministically)
+    gate = threading.Event()
+    orig_admit = ContinuousScheduler._admit
+
+    def gated_admit(self):
+        gate.wait(timeout=120)
+        orig_admit(self)
+
+    monkeypatch.setattr(ContinuousScheduler, "_admit", gated_admit)
+    sched = ContinuousScheduler(PARAMS, CFG, slots=4, **ENGINE_KW)
+    reqs = [(31, 0.5), (32, 0.0), (33, 0.7), (34, 0.5)]
+    prompts = {seed: _prompt(seed, n=8 + i) for i, (seed, _) in enumerate(reqs)}
+    outs = {}
+    errs = {}
+
+    threads = []
+    for seed, temp in reqs:
+        def run(seed=seed, temp=temp):
+            try:
+                outs[seed] = sched.submit(
+                    *prompts[seed], seed=seed, max_new=8,
+                    temperature=temp, timeout=120)
+            except Exception as e:  # noqa: BLE001
+                errs[seed] = repr(e)
+        t = threading.Thread(target=run)
+        t.start()
+        threads.append(t)
+    with sched._cv:
+        assert sched._cv.wait_for(
+            lambda: len(sched._pending) == 4, timeout=60)
+    gate.set()
+    for t in threads:
+        t.join(timeout=120)
+    sched.stop()
+    assert not errs, errs
+    assert 4 in sched.engine.join_group_sizes, sched.engine.join_group_sizes
+    for seed, temp in reqs:
+        ref = _solo(*prompts[seed], seed=seed, max_new=8, temperature=temp)
+        out = outs[seed]
+        n = int(out.num_tokens[0])
+        assert n == int(ref.num_tokens[0])
+        np.testing.assert_array_equal(
+            np.asarray(out.sequences[0, :n]),
+            np.asarray(ref.sequences[0, :n]))
+        np.testing.assert_allclose(np.asarray(out.pred_hands),
+                                   np.asarray(ref.pred_hands), atol=1e-6)
