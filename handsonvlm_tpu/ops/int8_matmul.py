@@ -566,14 +566,19 @@ _PREFILL4_VMEM_BUDGET = int(
 )
 
 
-def _prefill4_blocks(m: int, d: int, n: int, group: int):
+def _prefill4_blocks(m: int, d: int, n: int, group: int,
+                     fixed_bn: bool = False):
     # balance the m-grid: bm=256 at m=398 pads to 2x256=512 rows (29% wasted
     # MXU work); instead split m as evenly as the 8-row granularity allows
     # over the same number of blocks (m=398 -> 2x200 rows, 0.5% pad)
     nb_m = -(-max(m, 8) // PREFILL4_BLOCK_M)
     block_m = min(PREFILL4_BLOCK_M, -(-(-(-max(m, 8) // nb_m)) // 8) * 8)
     bn = PREFILL4_BLOCK_N
-    block_n = bn if n % bn == 0 else _pick_block_n(n, d // 2)
+    # fixed_bn: the tiled layout's output block IS its tile width n — the
+    # VMEM estimate must use it, or the guard under-counts and the kernel
+    # dies at compile (seen at m=6344: est with bn=256 passed, the real
+    # bn=512 kernel blew the 16 MB scoped limit by 1.68M)
+    block_n = n if fixed_bn else (bn if n % bn == 0 else _pick_block_n(n, d // 2))
     # contraction tile: default full-d when it fits (<=4096); the sweep
     # knob (HANDSONVLM_INT4_PREFILL_BK / PREFILL4_BLOCK_K) caps it so the
     # MFU tuning can trade VMEM working set vs accumulation passes
@@ -687,7 +692,7 @@ def int4_matmul_prefill_tiled(x, w4t, gst, layer_idx):
     d = G * group
     x2 = x.reshape(-1, d).astype(jnp.bfloat16)
     m = x2.shape[0]
-    block_m, _, block_k = _prefill4_blocks(m, d, BN, group)
+    block_m, _, block_k = _prefill4_blocks(m, d, BN, group, fixed_bn=True)
     gk = block_k // group
     m_pad = _cdiv(m, block_m) * block_m
     if m_pad != m:
