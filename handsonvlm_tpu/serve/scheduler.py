@@ -63,11 +63,16 @@ class ContinuousScheduler:
                  chunk: int = 8, temperature: float = 0.5,
                  top_p: float = 0.9, attn_impl: str = "auto",
                  kv_quant: Optional[str] = None,
-                 eos_token_id: int = EOS_TOKEN_ID):
+                 eos_token_id: int = EOS_TOKEN_ID,
+                 max_join_group: int = 8):
         self.engine = ContinuousEngine(
             params, cfg, slots=slots, max_len=max_len, chunk=chunk,
             temperature=temperature, top_p=top_p, attn_impl=attn_impl,
             kv_quant=kv_quant, eos_token_id=eos_token_id)
+        # fused-join width cap: the group prefill's transient KV cache is
+        # ~n * 270 MB at 7B — n=16 blew HBM by 3 GB (docs/PERF_NOTES.md
+        # round 4); n=8 fits beside the serving cache with margin
+        self.max_join_group = max_join_group
         self._pending: collections.deque = collections.deque()
         self._live: dict = {}  # row -> ticket
         self.ttfts: List[float] = []  # submit -> first-token latencies (s)
@@ -184,7 +189,8 @@ class ContinuousScheduler:
                     return  # wait for live requests to finish / free space
                 free = sum(1 for s in eng.slots if not s.busy)
                 key = self._shape_key(head)
-                limit = 1 << (max(free, 1).bit_length() - 1)  # pow2 <= free
+                cap = max(1, min(free, self.max_join_group))
+                limit = 1 << (cap.bit_length() - 1)  # pow2 <= min(free, cap)
                 while (self._pending and len(group) < limit
                        and self._shape_key(self._pending[0]) == key
                        and eng.can_admit(
@@ -201,10 +207,19 @@ class ContinuousScheduler:
                          max_new=t.max_new, temperature=t.temperature,
                          top_p=t.top_p, frame_map=t.frame_map)
                     for t in group])
-            except Exception as e:  # noqa: BLE001 — surface to the client
-                for t in group:
-                    t.error = str(e)
-                    t.event.set()
+            except Exception as e:  # noqa: BLE001
+                if len(group) == 1:
+                    group[0].error = str(e)
+                    group[0].event.set()
+                    continue
+                # a failed GROUP join (e.g. the fused prefill's transient
+                # memory at this width/bucket) must not fail n user
+                # requests: requeue them and halve the group-width cap —
+                # repeated failures degrade to solo admission
+                self.max_join_group = max(1, len(group) // 2)
+                with self._cv:
+                    for t in reversed(group):
+                        self._pending.appendleft(t)
                 continue
             for row, t in zip(rows, group):
                 # the join produced the request's first token — TTFT ends here

@@ -246,3 +246,54 @@ def test_grouped_admission_parity(monkeypatch):
             np.asarray(ref.sequences[0, :n]))
         np.testing.assert_allclose(np.asarray(out.pred_hands),
                                    np.asarray(ref.pred_hands), atol=1e-6)
+
+
+def test_group_join_failure_degrades_to_solo(monkeypatch):
+    """A failing fused group join requeues its tickets and halves the
+    group-width cap instead of failing n user requests; the retry admits
+    solo and every request completes."""
+    gate = threading.Event()
+    orig_admit = ContinuousScheduler._admit
+
+    def gated_admit(self):
+        gate.wait(timeout=120)
+        orig_admit(self)
+
+    monkeypatch.setattr(ContinuousScheduler, "_admit", gated_admit)
+    sched = ContinuousScheduler(PARAMS, CFG, slots=4, **ENGINE_KW)
+    eng = sched.engine
+    orig_join_many = eng.join_many
+    fails = {"n": 0}
+
+    def flaky_join_many(requests):
+        if len(requests) > 1:
+            fails["n"] += 1
+            raise RuntimeError("synthetic group-join failure")
+        return orig_join_many(requests)
+
+    monkeypatch.setattr(eng, "join_many", flaky_join_many)
+    outs = {}
+    errs = {}
+    threads = []
+    for seed in (51, 52, 53, 54):
+        def run(seed=seed):
+            try:
+                outs[seed] = sched.submit(*_prompt(seed), seed=seed,
+                                          max_new=6, temperature=0.0,
+                                          timeout=120)
+            except Exception as e:  # noqa: BLE001
+                errs[seed] = repr(e)
+        t = threading.Thread(target=run)
+        t.start()
+        threads.append(t)
+    with sched._cv:
+        assert sched._cv.wait_for(
+            lambda: len(sched._pending) == 4, timeout=60)
+    gate.set()
+    for t in threads:
+        t.join(timeout=120)
+    sched.stop()
+    assert not errs, errs
+    assert len(outs) == 4
+    assert fails["n"] >= 1  # the group path was exercised and failed
+    assert sched.max_join_group == 1  # 4 -> 2 -> 1
