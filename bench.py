@@ -325,17 +325,20 @@ def run_serve_single():
 
     cfg = _build_config(preset)
     platform = jax.devices()[0].platform
-    # 7B: 8 slots x 4096 int8 cache (8.6 GB) beside 3.4 GB int4 weights —
-    # affordable since round 4's compacted per-row sweep (DMA tracks valid
-    # bytes, not the allocation) and compaction (dead buckets reclaimed);
-    # measured 305-312 tok/s aggregate vs 266 at S=6 and 228 at S=4
-    # (docs/PERF_NOTES.md round-4 slots sweep). 13B's bigger per-position
-    # rows keep it at 4 slots.
+    # 7B: 16 slots x 2048 int8 cache (8.6 GB — same bytes as the old
+    # 8 x 4096) beside 3.4 GB int4 weights. Deep slot counts became the
+    # right trade through round 4's stack: compacted per-row sweep (DMA
+    # tracks valid bytes), compaction (dead buckets reclaimed), and fused
+    # group joins (a burst-8 join costs ONE dispatch and ONE cursor
+    # bucket). Measured 372-384 tok/s aggregate vs 327 at S=8 x 4096 and
+    # 305-312 pre-grouping (docs/PERF_NOTES.md round-4 slots sweeps).
+    # 13B's bigger per-position rows keep it at 4 slots.
     slots = int(os.environ.get(
-        "HANDSONVLM_BENCH_SLOTS", "8" if preset == "7b" else "4"))
+        "HANDSONVLM_BENCH_SLOTS", "16" if preset == "7b" else "4"))
     n_req = int(os.environ.get(
-        "HANDSONVLM_BENCH_REQS", "16" if preset == "7b" else "4"))
-    max_len = int(os.environ.get("HANDSONVLM_BENCH_SERVE_LEN", "4096"))
+        "HANDSONVLM_BENCH_REQS", "32" if preset == "7b" else "4"))
+    max_len = int(os.environ.get(
+        "HANDSONVLM_BENCH_SERVE_LEN", "2048" if preset == "7b" else "4096"))
     chunk = int(os.environ.get("HANDSONVLM_BENCH_SERVE_CHUNK", "16"))
     max_new = int(os.environ.get("HANDSONVLM_BENCH_NEW_TOKENS", "64"))
 
