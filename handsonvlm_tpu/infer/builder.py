@@ -87,10 +87,16 @@ def load_pretrained_model(
     tokenizer = load_tokenizer(None if model_path.startswith("random:") else model_path)
 
     def _maybe_quantize(params):
-        if quantize == "int8":
+        if quantize in ("int8", "int8_fused"):
             from handsonvlm_tpu.ops.int8_matmul import quantize_llama
 
             params["llama"] = quantize_llama(params["llama"])
+            if quantize == "int8_fused":
+                # fused QLoRA path: projections become scan constants read
+                # by the epilogue-fused pallas kernels (ops/qlora_fused)
+                from handsonvlm_tpu.ops.qlora_fused import stack_llama_int8
+
+                params["llama"] = stack_llama_int8(params["llama"])
         elif quantize == "int4":
             from handsonvlm_tpu.ops.int8_matmul import quantize_llama_int4
 
@@ -100,7 +106,7 @@ def load_pretrained_model(
         return params
 
     if model_path.startswith("random:"):
-        if quantize in ("int8", "int4"):
+        if quantize in ("int8", "int8_fused", "int4"):
             # direct quantized init: quantizing a materialized bf16 7B/13B
             # tree OOMs the 16 GB chip because freed Python-level device
             # buffers never return to the allocator pool (CLAUDE.md);
@@ -114,6 +120,11 @@ def load_pretrained_model(
             )
 
             init_q = init_llama_int4 if quantize == "int4" else init_llama_int8
+            if quantize == "int8_fused":
+                from handsonvlm_tpu.ops.qlora_fused import stack_llama_int8
+
+                def init_q(k, lcfg, dt):  # noqa: F811 — fused variant
+                    return stack_llama_int8(init_llama_int8(k, lcfg, dt))
             k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 4)
             d = cfg.llama.hidden_size
             params = {

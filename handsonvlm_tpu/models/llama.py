@@ -223,6 +223,7 @@ def _layer(
     stacked_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     tp_mesh=None,
     seq_mesh=None,
+    int8_stacked=None,
 ):
     """One decoder block. Returns (hidden, (new_k_slice, new_v_slice)).
 
@@ -249,6 +250,26 @@ def _layer(
         out = maybe_int8_matmul(x, lp[grp][name])
         return out + lora_delta(lora_layer, name, x, lora_scale)
 
+    def proj8(x, name):
+        # fused QLoRA path (ops/qlora_fused): stacked int8 base as a scan
+        # constant; a targeted projection's low-rank delta is accumulated in
+        # the kernel's output tile epilogue — the full-width f32 delta never
+        # exists in HBM (the measured ~46 ms/step adapter tax at 7B,
+        # docs/PERF_NOTES.md "Adapter-tax follow-ups")
+        from handsonvlm_tpu.ops.qlora_fused import (
+            int8_lora_matmul_stacked,
+            int8_matmul_stacked,
+        )
+
+        leaf = int8_stacked[name]
+        ad = (lora_layer[name]
+              if lora_layer is not None and name in lora_layer else None)
+        if ad is not None:
+            return int8_lora_matmul_stacked(
+                x, leaf["w8"], leaf["scale"], ad["a"], ad["b"],
+                lora_scale, layer_idx)
+        return int8_matmul_stacked(x, leaf["w8"], leaf["scale"], layer_idx)
+
     def iproj(x, name):
         leaf = int4_stacked[name]
         # tiled (w4t/gst, production) or flat (w4/gscale) packed layout
@@ -266,8 +287,13 @@ def _layer(
     # qkv adapter deltas share the input x: lora_delta_multi can group
     # their sub-MXU dots (HANDSONVLM_LORA_GROUPED; split is the default —
     # grouping measured slower at 7B, docs/PERF_NOTES.md "Adapter-tax")
-    dqkv = lora_delta_multi(lora_layer, ("wq", "wk", "wv"), x, lora_scale)
-    if int4_stacked is not None:
+    dqkv = (None if int8_stacked is not None else
+            lora_delta_multi(lora_layer, ("wq", "wk", "wv"), x, lora_scale))
+    if int8_stacked is not None:
+        q = proj8(x, "wq").reshape(b, t, h, hd)
+        kx = proj8(x, "wk").reshape(b, t, k, hd)
+        vx = proj8(x, "wv").reshape(b, t, k, hd)
+    elif int4_stacked is not None:
         qkv = iproj(x, "wqkv")
         if isinstance(dqkv, tuple):
             q = qkv[..., : h * hd] + dqkv[0]
@@ -424,6 +450,13 @@ def _layer(
                 impl=attn_impl, decode_length=decode_length,
             )
         out = out.reshape(b, t, h * hd)
+    if int8_stacked is not None:
+        hidden = hidden + proj8(out, "wo")
+        x = rms_norm(hidden, lp["mlp_norm"]["scale"], cfg.rms_norm_eps)
+        gate = jax.nn.silu(proj8(x, "w_gate"))
+        up = proj8(x, "w_up")
+        hidden = hidden + proj8(gate * up, "w_down")
+        return hidden, new_kv
     if int4_stacked is not None:
         hidden = hidden + iproj(out, "wo") + lora_delta(lora_layer, "wo", out, lora_scale)
         x = rms_norm(hidden, lp["mlp_norm"]["scale"], cfg.rms_norm_eps)
@@ -516,6 +549,10 @@ def apply_llama(
     int4_stacked = layer_params.get("int4")
     if int4_stacked is not None:
         layer_params = {k: v for k, v in layer_params.items() if k != "int4"}
+    # same treatment for the fused-QLoRA stacked int8 tree (ops/qlora_fused)
+    int8_stacked = layer_params.get("int8")
+    if int8_stacked is not None:
+        layer_params = {k: v for k, v in layer_params.items() if k != "int8"}
     lora_adapters = lora["adapters"] if lora is not None else None
     lora_scale = lora["scale"] if lora is not None else 0.0
     layer_ids = jnp.arange(cfg.num_layers)
@@ -535,6 +572,7 @@ def apply_llama(
                 cache_index, attn_impl, lora_l, lora_scale,
                 int4_stacked, layer_idx,
                 stacked_kv=(ck, cv, cks, cvs), tp_mesh=tp_mesh,
+                int8_stacked=int8_stacked,
             )
             return (hidden, ck, cv, cks, cvs), None
 
@@ -570,7 +608,7 @@ def apply_llama(
                     hidden, lp, cfg, cos, sin, key_mask, q_offset, None,
                     cache_index, attn_impl, lora_l, lora_scale,
                     int4_stacked, layer_idx, stacked_kv=(ck, cv),
-                    tp_mesh=tp_mesh,
+                    tp_mesh=tp_mesh, int8_stacked=int8_stacked,
                 )
                 return (hidden, ck, cv), None
 
@@ -596,6 +634,7 @@ def apply_llama(
                     hidden, lp, cfg, cos, sin, key_mask, q_offset, (k_l, v_l),
                     cache_index, attn_impl, lora_l, lora_scale,
                     int4_stacked, layer_idx, tp_mesh=tp_mesh,
+                    int8_stacked=int8_stacked,
                 )
                 return hidden, (nk, nv)
 
@@ -621,6 +660,7 @@ def apply_llama(
                 hidden, lp, cfg, cos, sin, key_mask, q_offset, (k_l, v_l),
                 cache_index, attn_impl, lora_l, lora_scale,
                 int4_stacked, layer_idx, tp_mesh=tp_mesh,
+                int8_stacked=int8_stacked,
             )
             ck = jax.lax.dynamic_update_index_in_dim(ck, nk, layer_idx, 0)
             cv = jax.lax.dynamic_update_index_in_dim(cv, nv, layer_idx, 0)
@@ -641,6 +681,7 @@ def apply_llama(
             hidden, lp, cfg, cos, sin, key_mask, q_offset, None,
             cache_index, attn_impl, lora_l, lora_scale,
             int4_stacked, layer_idx, tp_mesh=tp_mesh, seq_mesh=seq_mesh,
+            int8_stacked=int8_stacked,
         )
         return hidden, None
 

@@ -65,11 +65,14 @@ def main():
     p.add_argument("--mu-bf16", action="store_true",
                    help="bf16 Adam first moment (halves moment memory; "
                         "enables 13B QLoRA r=128 on one 16 GB chip)")
-    p.add_argument("--qlora", choices=["int8", "int4"], default=None,
+    p.add_argument("--qlora", choices=["int8", "int8_fused", "int4"],
+                   default=None,
                    help="quantize the frozen decoder base (requires --lora-r): "
                         "int4 fits a 7B QLoRA fine-tune on one 16 GB chip "
                         "(gradients flow through the quantized projections "
-                        "via ops/int8_matmul custom VJPs)")
+                        "via ops/int8_matmul custom VJPs); int8_fused runs "
+                        "the int8 base through pallas kernels that fuse the "
+                        "LoRA delta into the GEMM epilogue (ops/qlora_fused)")
     p.add_argument("--tune-mm-mlp-adapter", action="store_true",
                    help="train only the mm_projector and save adapter-only "
                         "checkpoints (reference train.py:104-122 "

@@ -172,3 +172,43 @@ def test_remat_bad_policy_raises():
 
     with _pytest.raises(ValueError):
         _remat(lambda x: x, "nope")
+
+
+def test_qlora_int8_fused_step():
+    """QLoRA with the fused int8 base (ops/qlora_fused): the stacked
+    layers['int8'] tree rides the scan as constants and each targeted
+    projection fuses its LoRA delta into the pallas epilogue. Loss
+    decreases, the quantized base stays bit-identical, adapters move."""
+    from handsonvlm_tpu.infer.builder import load_pretrained_model
+    from handsonvlm_tpu.models.lora import init_lora
+
+    params, cfg, _ = load_pretrained_model(
+        "random:tiny", "tiny", quantize="int8_fused")
+    assert "int8" in params["llama"]["layers"]
+    params["lora"] = init_lora(jax.random.PRNGKey(3), cfg.llama, r=2, alpha=4.0)
+    int8_before = jax.tree_util.tree_map(
+        lambda x: np.asarray(x), params["llama"]["layers"]["int8"]
+    )
+    lora_b_before = np.asarray(params["lora"]["adapters"]["wq"]["b"])
+
+    tx = make_optimizer(
+        learning_rate=5e-3, params_template=params,
+        freeze_top_keys=("vision", "llama"),
+    )
+    state = create_train_state(params, tx)
+    step = make_train_step(cfg, tx, attn_impl="xla")
+    batch = _batch()
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(5):
+        state, metrics = step(state, batch, rng)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all(), losses
+    assert losses[-1] < losses[0], losses
+    for a, b in zip(
+        jax.tree_util.tree_leaves(int8_before),
+        jax.tree_util.tree_leaves(state.params["llama"]["layers"]["int8"]),
+    ):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    assert np.abs(np.asarray(state.params["lora"]["adapters"]["wq"]["b"])
+                  - lora_b_before).max() > 0
