@@ -68,7 +68,7 @@ def _fwd_vmem_est(bm: int, bn: int, bk: int, r: int) -> int:
     x_db = 2 * bm * bk * 2
     w_db = 2 * bk * bn  # int8
     dequant = bk * bn * 2
-    acc_and_out = bm * bn * 4 + 2 * bm * bn * 4
+    acc_and_out = bm * bn * 4 + 2 * bm * bn * 2  # f32 acc + bf16 out
     lora = (2 * bm * r * 4 + 2 * r * bn * 4) if r else 0
     return x_db + w_db + dequant + acc_and_out + lora
 
@@ -94,13 +94,13 @@ def _bwd_blocks(m: int, d: int, n: int, r: int):
     block_m = min(256, -(-max(m, 8) // 8) * 8)
     block_d = _pick_div(d, (512, 256, 128), d)
     block_n = _pick_div(n, (512, 256, 128), n)
-    # g tiles are f32 (cast to bf16 in-kernel: casting outside would
-    # materialise a full (m, n) bf16 copy — pallas operands don't fuse)
+    # g arrives bf16 (the incoming cotangent IS bf16 in training; one
+    # cheap cast outside beats f32 tiles at 2x the DMA)
     def est():
-        g_db = 2 * block_m * block_n * 4
+        g_db = 2 * block_m * block_n * 2
         w_db = 2 * block_d * block_n
         dequant = block_d * block_n * 2
-        acc_and_out = block_m * block_d * 4 + 2 * block_m * block_d * 4
+        acc_and_out = block_m * block_d * 4 + 2 * block_m * block_d * 2
         lora = (2 * block_m * r * 4 + 2 * block_d * r * 4) if r else 0
         return g_db + w_db + dequant + acc_and_out + lora
 
@@ -145,8 +145,10 @@ def _fwd_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref):
     def _done():
         # exact f32 post-scale (per output column) — cheaper and tighter
         # than folding s into the bf16 dequant (the (bm,bn) multiply runs
-        # once vs (bk,bn) per accumulation step)
-        o_ref[:] = acc_ref[:] * s_ref[0].astype(jnp.float32)
+        # once vs (bk,bn) per accumulation step); the bf16 cast happens
+        # HERE so the full-width f32 tile never round-trips HBM
+        o_ref[:] = (acc_ref[:] * s_ref[0].astype(jnp.float32)
+                    ).astype(o_ref.dtype)
 
 
 def _fwd_lora_kernel(x_ref, w_ref, s_ref, u_ref, b_ref, o_ref, acc_ref):
@@ -171,7 +173,8 @@ def _fwd_lora_kernel(x_ref, w_ref, s_ref, u_ref, b_ref, o_ref, acc_ref):
             u_ref[:], b_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        o_ref[:] = acc_ref[:] * s_ref[0].astype(jnp.float32) + delta
+        o_ref[:] = (acc_ref[:] * s_ref[0].astype(jnp.float32) + delta
+                    ).astype(o_ref.dtype)
 
 
 def _fwd_call(x2, w8_all, s_all, layer_idx, u_s=None, bmat=None):
@@ -216,7 +219,7 @@ def _fwd_call(x2, w8_all, s_all, layer_idx, u_s=None, bmat=None):
                                    lambda i, j, ki, l: (i, j)),
             scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
         ),
-        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.bfloat16),
         interpret=_interpret(),
     )(jnp.asarray(layer_idx, jnp.int32).reshape(1), *ops)
     return out[:m]
@@ -238,13 +241,13 @@ def _bwd_kernel(g_ref, w_ref, s_ref, o_ref, acc_ref):
     # bf16 dequant (the int4 T kernels make the same precision trade)
     w = w_ref[0].astype(jnp.bfloat16) * s_ref[0].astype(jnp.bfloat16)
     acc_ref[:] += jax.lax.dot_general(
-        g_ref[:].astype(jnp.bfloat16), w, (((1,), (1,)), ((), ())),
+        g_ref[:], w, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
     @pl.when(ni == pl.num_programs(2) - 1)
     def _done():
-        o_ref[:] = acc_ref[:]
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
 def _bwd_lora_kernel(g_ref, w_ref, s_ref, v_ref, a_ref, o_ref, acc_ref):
@@ -256,7 +259,7 @@ def _bwd_lora_kernel(g_ref, w_ref, s_ref, v_ref, a_ref, o_ref, acc_ref):
 
     w = w_ref[0].astype(jnp.bfloat16) * s_ref[0].astype(jnp.bfloat16)
     acc_ref[:] += jax.lax.dot_general(
-        g_ref[:].astype(jnp.bfloat16), w, (((1,), (1,)), ((), ())),
+        g_ref[:], w, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -267,7 +270,7 @@ def _bwd_lora_kernel(g_ref, w_ref, s_ref, v_ref, a_ref, o_ref, acc_ref):
             v_ref[:], a_ref[:], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        o_ref[:] = acc_ref[:] + delta
+        o_ref[:] = (acc_ref[:] + delta).astype(o_ref.dtype)
 
 
 def _bwd_call(g2, w8_all, s_all, layer_idx, v_s=None, a=None):
@@ -310,7 +313,7 @@ def _bwd_call(g2, w8_all, s_all, layer_idx, v_s=None, a=None):
                                    lambda i, di, ni, l: (i, di)),
             scratch_shapes=[pltpu.VMEM((block_m, block_d), jnp.float32)],
         ),
-        out_shape=jax.ShapeDtypeStruct((m_pad, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m_pad, d), jnp.bfloat16),
         interpret=_interpret(),
     )(jnp.asarray(layer_idx, jnp.int32).reshape(1), *ops)
     return out[:m]
@@ -344,7 +347,7 @@ def _int8_stacked_fwd(x, w8_all, s_all, layer_idx):
 
 def _int8_stacked_bwd(res, dy):
     w8_all, s_all, layer_idx, xdt = res
-    g2 = dy.reshape(-1, dy.shape[-1]).astype(jnp.float32)
+    g2 = dy.reshape(-1, dy.shape[-1]).astype(jnp.bfloat16)
     dx = _bwd_call(g2, w8_all, s_all, layer_idx)
     dx = dx.reshape(dy.shape[:-1] + (w8_all.shape[1],)).astype(xdt.dtype)
     return dx, _zero_ct(w8_all), _zero_ct(s_all), _zero_ct(layer_idx)
@@ -370,13 +373,15 @@ def int8_lora_matmul_stacked(x, w8_all, s_all, a, bmat, ls, layer_idx):
 def _int8_lora_fwd_impl(x, w8_all, s_all, a, bmat, ls, layer_idx):
     shape = x.shape
     d, n = w8_all.shape[1], w8_all.shape[2]
-    x2 = x.reshape(-1, d)
-    # tiny first-stage dot stays outside (m x d x r); f32 like lora_delta
-    u = jnp.dot(x2, a, preferred_element_type=jnp.float32)
+    x2 = x.reshape(-1, d).astype(jnp.bfloat16)
+    # tiny first-stage dot stays outside (m x d x r); bf16 operands with an
+    # f32 accumulator — a f32 `a` operand would promote x2 and materialise
+    # a full-width f32 copy of x
+    u = jnp.dot(x2, a.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
     u_s, bp, _ = _pad_rank((u * ls).astype(jnp.float32),
                            bmat.astype(jnp.float32))
-    out = _fwd_call(x2.astype(jnp.bfloat16), w8_all, s_all, layer_idx,
-                    u_s, bp)
+    out = _fwd_call(x2, w8_all, s_all, layer_idx, u_s, bp)
     return out.reshape(shape[:-1] + (n,)).astype(x.dtype), u
 
 
@@ -388,10 +393,11 @@ def _int8_lora_fwd(x, w8_all, s_all, a, bmat, ls, layer_idx):
 def _int8_lora_bwd(res, dy):
     x, w8_all, s_all, a, bmat, ls, layer_idx, u = res
     d, n = w8_all.shape[1], w8_all.shape[2]
-    g2 = dy.reshape(-1, n).astype(jnp.float32)
-    x2 = x.reshape(-1, d)
-    # v = g @ B^T: thin (m, r); its scaled form rides the T-kernel epilogue
-    v = jnp.dot(g2, bmat.astype(jnp.float32).T,
+    g2 = dy.reshape(-1, n).astype(jnp.bfloat16)
+    x2 = x.reshape(-1, d).astype(jnp.bfloat16)
+    # v = g @ B^T: thin (m, r); its scaled form rides the T-kernel epilogue.
+    # bf16 operands throughout — any f32 operand promotes the full-width g
+    v = jnp.dot(g2, bmat.astype(jnp.bfloat16).T,
                 preferred_element_type=jnp.float32)
     v_s, _, ap = _pad_rank((v * ls).astype(jnp.float32),
                            jnp.zeros((bmat.shape[0], 1), jnp.float32),
@@ -399,8 +405,10 @@ def _int8_lora_bwd(res, dy):
     dx = _bwd_call(g2, w8_all, s_all, layer_idx, v_s, ap)
     dx = dx.reshape(x.shape).astype(x.dtype)
     # adapter gradients: thin XLA dots (their outputs ARE the grads)
-    da = (jnp.dot(x2.astype(jnp.float32).T, v) * ls).astype(a.dtype)
-    db = (jnp.dot(u.T, g2) * ls).astype(bmat.dtype)
+    da = (jnp.dot(x2.T, v.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32) * ls).astype(a.dtype)
+    db = (jnp.dot(u.astype(jnp.bfloat16).T, g2,
+                  preferred_element_type=jnp.float32) * ls).astype(bmat.dtype)
     dls = jnp.zeros_like(ls)  # optimizer-masked; see docstring
     return (dx, _zero_ct(w8_all), _zero_ct(s_all), da, db, dls,
             _zero_ct(layer_idx))
