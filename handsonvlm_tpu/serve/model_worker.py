@@ -54,6 +54,7 @@ class ModelWorker:
         kv_quant=None,
         continuous_slots: int = 0,
         continuous_max_len: int = 4096,
+        ttft_slo=None,
     ):
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
@@ -68,7 +69,7 @@ class ModelWorker:
         self._load_args = (
             model_path, preset, quantize, max_batch, batch_wait_ms,
             lora_dir, lora_resident, spec_k, kv_quant,
-            continuous_slots, continuous_max_len,
+            continuous_slots, continuous_max_len, ttft_slo,
         )
         if not defer_load:
             self.load()
@@ -80,7 +81,7 @@ class ModelWorker:
         (ROADMAP round-1 item; the reference worker binds only after load)."""
         (model_path, preset, quantize, max_batch, batch_wait_ms,
          lora_dir, lora_resident, spec_k, kv_quant,
-         continuous_slots, continuous_max_len) = self._load_args
+         continuous_slots, continuous_max_len, ttft_slo) = self._load_args
 
         from handsonvlm_tpu.eval.evaluator import InferenceEngine
         from handsonvlm_tpu.infer.builder import load_pretrained_model
@@ -130,6 +131,7 @@ class ModelWorker:
             self.scheduler = ContinuousScheduler(
                 params, cfg, slots=continuous_slots,
                 max_len=continuous_max_len, kv_quant=kv_quant,
+                ttft_slo=ttft_slo,
             )
 
         self.ready = True
@@ -263,12 +265,14 @@ class ModelWorker:
         import jax.numpy as jnp
 
         images, frame_map = InferenceEngine.dedup_frames(frames[None])
+        slo = payload.get("ttft_slo")  # seconds; None = no deadline
         out = self.scheduler.submit(
             ids, jnp.asarray(images, self.cfg.cdtype), seed=seed,
             max_new=int(payload.get("max_new_tokens", 100)),
             temperature=float(payload.get("temperature", 0.5)),
             top_p=float(payload.get("top_p", 0.9)),
             frame_map=frame_map, on_tokens=on_tokens,
+            ttft_slo=None if slo is None else float(slo),
         )
         pred, valid = clip_pred_hands(
             np.asarray(out.pred_hands), np.asarray(out.num_hands)
@@ -512,8 +516,13 @@ def serve_worker(worker: ModelWorker, host: str, port: int):
             elif self.path in ("/worker_generate", "/worker_generate_stream") and not worker.ready:
                 self._json(503, {"error": "model loading", "error_code": 2})
             elif self.path == "/worker_generate":
+                from handsonvlm_tpu.serve.scheduler import SLORejected
+
                 try:
                     self._json(200, worker.generate(data))
+                except SLORejected as e:
+                    # load shed: the client should retry elsewhere / later
+                    self._json(429, {"error": str(e), "error_code": 3})
                 except Exception as e:  # noqa: BLE001
                     self._json(500, {"error": str(e), "error_code": 1})
             elif self.path == "/worker_generate_stream":
@@ -562,6 +571,11 @@ def main():
                    help="shared-cache length budget for --continuous "
                         "(prompt buckets + decode chunks of every "
                         "concurrently admitted request)")
+    p.add_argument("--ttft-slo", type=float, default=None, metavar="SECONDS",
+                   help="first-token latency SLO for --continuous: reject "
+                        "(HTTP 429) any request whose estimated TTFT "
+                        "exceeds it instead of queueing; per-request "
+                        "'ttft_slo' in the payload overrides")
     args = p.parse_args()
     addr = args.worker_address or f"http://localhost:{args.port}"
     worker = ModelWorker(
@@ -575,6 +589,7 @@ def main():
         kv_quant="int8" if args.kv_int8 else None,
         continuous_slots=args.continuous,
         continuous_max_len=args.continuous_max_len,
+        ttft_slo=args.ttft_slo,
     )
     # bind + serve /healthz immediately; generate endpoints 503 until loaded
     server = serve_worker(worker, args.host, args.port)

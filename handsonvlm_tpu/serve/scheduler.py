@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import collections
 import dataclasses
+import heapq
 import threading
 import time
 from typing import Callable, List, Optional
@@ -32,6 +33,17 @@ import numpy as np
 
 from handsonvlm_tpu.infer.sampler import EOS_TOKEN_ID, SampleOutput
 from handsonvlm_tpu.serve.continuous import ContinuousEngine
+
+
+class SLORejected(RuntimeError):
+    """Raised by submit() when the estimated TTFT exceeds the caller's SLO.
+
+    Load shedding beats silent queueing for latency-sensitive callers: a
+    request that cannot meet its deadline should fail in microseconds (so
+    the client can retry elsewhere / degrade) rather than burn a queue
+    slot to deliver a late answer. The reference stack has no analogue —
+    its worker semaphore just queues unboundedly
+    (llava/serve/model_worker.py:36-44, limit_model_concurrency)."""
 
 
 @dataclasses.dataclass
@@ -64,11 +76,22 @@ class ContinuousScheduler:
                  top_p: float = 0.9, attn_impl: str = "auto",
                  kv_quant: Optional[str] = None,
                  eos_token_id: int = EOS_TOKEN_ID,
-                 max_join_group: int = 8):
+                 max_join_group: int = 8,
+                 ttft_slo: Optional[float] = None):
         self.engine = ContinuousEngine(
             params, cfg, slots=slots, max_len=max_len, chunk=chunk,
             temperature=temperature, top_p=top_p, attn_impl=attn_impl,
             kv_quant=kv_quant, eos_token_id=eos_token_id)
+        # TTFT SLO admission control: reject a submit whose estimated
+        # first-token latency exceeds the SLO (seconds). None = queue
+        # unboundedly (the pre-round-4 behavior).
+        self.ttft_slo = ttft_slo
+        self.slo_rejections = 0
+        # EWMAs of the measured decode-step / join dispatch times feed the
+        # estimator; None until the first measurement — a cold scheduler
+        # never rejects (no basis for a prediction).
+        self._step_s: Optional[float] = None
+        self._join_s: Optional[float] = None
         # fused-join width cap: the group prefill's transient KV cache is
         # ~n * 270 MB at 7B — n=16 blew HBM by 3 GB (docs/PERF_NOTES.md
         # round 4); n=8 fits beside the serving cache with margin
@@ -87,14 +110,24 @@ class ContinuousScheduler:
                temperature: Optional[float] = None,
                top_p: Optional[float] = None, frame_map=None,
                on_tokens: Optional[Callable[[List[int]], None]] = None,
-               timeout: Optional[float] = None) -> SampleOutput:
+               timeout: Optional[float] = None,
+               ttft_slo: Optional[float] = None) -> SampleOutput:
         # ids stay host-side (shape checks); images pass through untouched —
         # an np.asarray here would round-trip a device array over the tunnel
         t = _Ticket(np.asarray(input_ids), images, seed, max_new,
                     temperature, top_p, frame_map, on_tokens)
+        slo = self.ttft_slo if ttft_slo is None else ttft_slo
         with self._cv:
             if self._stopped:
                 raise RuntimeError("scheduler stopped")
+            if slo is not None:
+                est = self.estimate_ttft()
+                if est is not None and est > slo:
+                    self.slo_rejections += 1
+                    raise SLORejected(
+                        f"estimated TTFT {est:.2f}s exceeds SLO {slo:.2f}s "
+                        f"({len(self._pending)} queued, "
+                        f"{len(self._live)} decoding)")
             self._pending.append(t)
             self._cv.notify()
         if not t.event.wait(timeout):
@@ -108,6 +141,48 @@ class ContinuousScheduler:
             self._stopped = True
             self._cv.notify()
         self._thread.join(timeout=30)
+
+    # -- TTFT SLO estimator ---------------------------------------------------
+
+    @staticmethod
+    def _estimate_steps(free_slots: int, live_remaining: List[int],
+                        queued_steps: List[int]) -> Optional[int]:
+        """Decode steps until a slot frees for a request arriving at the back
+        of the queue: simulate slot recycling (free slots serve the queue
+        first; live rows free after their remaining steps; each queued
+        request then occupies its slot for its own full decode). Upper
+        bound — early EOS frees slots sooner, never later."""
+        frees = [0] * free_slots + sorted(live_remaining)
+        if not frees:
+            return None
+        heapq.heapify(frees)
+        for qs in queued_steps:
+            heapq.heappush(frees, heapq.heappop(frees) + qs)
+        return frees[0]
+
+    def estimate_ttft(self) -> Optional[float]:
+        """Predicted submit->first-token latency for a request submitted NOW
+        (seconds), or None while the scheduler is cold (no measured step /
+        join times yet — a cold scheduler admits everything). Called under
+        self._cv; engine state is only mutated by the loop thread, and the
+        estimate tolerates a mid-step read (GIL-atomic list/int reads)."""
+        if self._step_s is None or self._join_s is None:
+            return None
+        eng = self.engine
+        free = sum(1 for s in eng.slots if not s.busy)
+        live = [max(1, -(-(s.max_new - len(s.tokens)) // eng.chunk))
+                for s in eng.slots if s.busy]
+        queued = [max(1, -(-p.max_new // eng.chunk)) for p in self._pending]
+        steps = self._estimate_steps(free, live, queued)
+        if steps is None:
+            return None
+        # one join dispatch puts the first token out once the slot frees
+        return steps * self._step_s + self._join_s
+
+    def _ewma(self, attr: str, dt: float, alpha: float = 0.3):
+        prev = getattr(self, attr)
+        setattr(self, attr, dt if prev is None else
+                (1 - alpha) * prev + alpha * dt)
 
     # -- loop side (single thread owns the engine) ---------------------------
 
@@ -202,11 +277,13 @@ class ContinuousScheduler:
                 while len(group) > keep:
                     self._pending.appendleft(group.pop())
             try:
+                t_join = time.perf_counter()
                 rows = eng.join_many([
                     dict(input_ids=t.ids, images=t.images, seed=t.seed,
                          max_new=t.max_new, temperature=t.temperature,
                          top_p=t.top_p, frame_map=t.frame_map)
                     for t in group])
+                self._ewma("_join_s", time.perf_counter() - t_join)
             except Exception as e:  # noqa: BLE001
                 if len(group) == 1:
                     group[0].error = str(e)
@@ -243,7 +320,9 @@ class ContinuousScheduler:
         if eng.pos + eng.chunk > eng.s:
             done = eng.drain()
         else:
+            t_step = time.perf_counter()
             done = eng.step()
+            self._ewma("_step_s", time.perf_counter() - t_step)
         for row, out in done:
             self._finish(row, out)
         for row, t in list(self._live.items()):

@@ -297,3 +297,57 @@ def test_group_join_failure_degrades_to_solo(monkeypatch):
     assert len(outs) == 4
     assert fails["n"] >= 1  # the group path was exercised and failed
     assert sched.max_join_group == 1  # 4 -> 2 -> 1
+
+
+def test_slo_estimator_steps():
+    """Pure slot-recycling simulation (scheduler._estimate_steps):
+    upper-bound decode steps until a slot frees for the newest arrival."""
+    est = ContinuousScheduler._estimate_steps
+    assert est(2, [], []) == 0            # free slot now
+    assert est(0, [5], []) == 5           # wait for the live row
+    assert est(0, [5, 2], []) == 2        # earliest of two live rows
+    assert est(1, [5], [3]) == 3          # queued head takes the free slot
+    # two queued ahead on one slot: head at 0..3, second 3..7, ours at 7
+    assert est(1, [], [3, 4]) == 7
+    # queue drains across recycling slots: frees at [0,2]; q1->0+3=3,
+    # q2->2+3=5, ours at min(3,5)=3
+    assert est(1, [2], [3, 3]) == 3
+    assert est(0, [], []) is None         # no slots at all
+
+
+def test_slo_rejects_when_saturated_and_admits_when_loose():
+    sched = ContinuousScheduler(PARAMS, CFG, slots=1, **ENGINE_KW)
+    try:
+        ids, images = _prompt(0)
+        done = {}
+
+        def run_long():
+            done["out"] = sched.submit(ids, images, seed=7, max_new=60,
+                                       temperature=0.0, timeout=600)
+
+        th = threading.Thread(target=run_long)
+        th.start()
+        # wait until the long request is decoding and the estimator is warm
+        import time as _time
+        deadline = _time.time() + 300
+        while _time.time() < deadline and (
+                sched._step_s is None or sched._join_s is None
+                or not sched._live):
+            _time.sleep(0.01)
+        assert sched._step_s is not None and sched._live
+
+        # slot saturated: a tiny SLO must shed, not queue
+        from handsonvlm_tpu.serve.scheduler import SLORejected
+        with pytest.raises(SLORejected, match="exceeds SLO"):
+            sched.submit(ids, images, seed=8, max_new=4, temperature=0.0,
+                         timeout=600, ttft_slo=1e-9)
+        assert sched.slo_rejections == 1
+
+        # a loose SLO (and the default None) still queue and complete
+        out2 = sched.submit(ids, images, seed=8, max_new=4, temperature=0.0,
+                            timeout=600, ttft_slo=1e6)
+        assert int(out2.num_tokens[0]) >= 1
+        th.join(timeout=600)
+        assert "out" in done
+    finally:
+        sched.stop()

@@ -91,23 +91,26 @@ def main():
     # but no nibble-unpack vector work in the prefill GEMMs (the dequant
     # tax named by the round-3 MFU decomposition). PERF_LORA_R=0 drops the
     # adapter entirely (projector/CVAE still train), isolating the
-    # sub-MXU LoRA-dot tax.
-    quant = os.environ.get("PERF_QUANT", "int4")
+    # sub-MXU LoRA-dot tax. Accepts a comma list for an IN-PROCESS sweep
+    # when the variants share device buffers: "int8,int8_fused" loads ONE
+    # int8 tree and derives the fused layout by pure pytree restructure
+    # (ops/qlora_fused.stack_llama_int8 — zero extra HBM), so the A/B is
+    # immune to the 1.5-2x cross-process tunnel variance (CLAUDE.md).
+    quants = [q for q in os.environ.get("PERF_QUANT", "int4").split(",") if q]
+    if len(quants) > 1 and set(quants) != {"int8", "int8_fused"}:
+        raise SystemExit("PERF_QUANT list sweep supports only int8,int8_fused "
+                         "(shared buffers); other variants need their own tree")
+    quants.sort()  # int8 before int8_fused: fused derives from the flat tree
+    load_q = "int8" if quants == ["int8", "int8_fused"] else quants[0]
 
     params, cfg, _tok = load_pretrained_model(
-        f"random:{preset}", preset, quantize=None if full_sft else quant
+        f"random:{preset}", preset, quantize=None if full_sft else load_q
     )
     if not full_sft and r > 0:
         params["lora"] = init_lora(jax.random.PRNGKey(42), cfg.llama, r=r, alpha=2 * r)
     import dataclasses
 
     cfg = dataclasses.replace(cfg, num_frames=n_frames)
-    tx = make_optimizer(
-        learning_rate=2e-5, params_template=params,
-        freeze_top_keys=("vision",) if full_sft else ("vision", "llama"),
-        mu_dtype=jnp.bfloat16 if mu_bf16 else None,
-    )
-    state = create_train_state(params, tx)
     # HANDSONVLM_REMAT accepts a comma list for an in-process policy sweep
     # (tunnel throughput varies 1.5-2x across processes — CLAUDE.md; the
     # weight tree and optimizer state are shared across policies).
@@ -116,16 +119,39 @@ def main():
     # time, so it is pinned per step-fn at first call).
     remats = [x for x in os.environ.get("HANDSONVLM_REMAT", "full").split(",") if x]
     groupeds = [x for x in os.environ.get("PERF_LORA_GROUPED", "").split(",") if x]
-    steps_by_remat = {}
-    for rm in remats:
-        if groupeds:
-            for g in groupeds:
-                steps_by_remat[f"{rm}/grouped={g}"] = (
-                    make_train_step(cfg, tx, remat=rm), g)
-        else:
-            steps_by_remat[rm] = (make_train_step(cfg, tx, remat=rm), None)
-
     t_spliced = t + cfg.num_visual_tokens - 1
+    for quant in quants:
+        if quant == "int8_fused" and load_q == "int8":
+            from handsonvlm_tpu.ops.qlora_fused import stack_llama_int8
+
+            # params now points at the POST-step donated chain's tree: its
+            # leaves are live device buffers shared with the new layout
+            params = dict(params)
+            params["llama"] = stack_llama_int8(params["llama"])
+        tx = make_optimizer(
+            learning_rate=2e-5, params_template=params,
+            freeze_top_keys=("vision",) if full_sft else ("vision", "llama"),
+            mu_dtype=jnp.bfloat16 if mu_bf16 else None,
+        )
+        state = create_train_state(params, tx)
+        steps_by_remat = {}
+        for rm in remats:
+            if groupeds:
+                for g in groupeds:
+                    steps_by_remat[f"{rm}/grouped={g}"] = (
+                        make_train_step(cfg, tx, remat=rm), g)
+            else:
+                steps_by_remat[rm] = (make_train_step(cfg, tx, remat=rm), None)
+
+        state = run_sweep(cfg, bs, t, n_frames, steps_by_remat, state, steps,
+                          r, full_sft, quant, t_spliced)
+        # the steps donate the state: the pre-sweep tree's buffers are gone;
+        # the next variant must restructure the POST-sweep live tree
+        params = state.params
+
+
+def run_sweep(cfg, bs, t, n_frames, steps_by_remat, state, steps, r,
+              full_sft, quant, t_spliced):
     for b in bs:
         batches = [make_batch(cfg, b, t, n_frames, seed=s) for s in range(2)]
         for rm, (step, grouped) in steps_by_remat.items():
@@ -158,6 +184,7 @@ def main():
             if not full_sft:
                 line += f"MFU(4PT-frozen)={fl['4pt']/dt/1e12/PEAK_TFLOPS*100:.1f}%  "
             print(line + f"loss={loss:.3f}", flush=True)
+    return state
 
 
 if __name__ == "__main__":
