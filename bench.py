@@ -826,7 +826,29 @@ def main():
     if extras:
         result["modes"] = extras
     result["wall_s"] = round(time.time() - t0, 1)
-    print(json.dumps(result))
+
+    # bench->driver contract (VERDICT r4 #4): the driver tail-captures
+    # stdout and parses the LAST line; the full multi-mode document outgrew
+    # that capture in round 4 ("parsed": null). Persist the full record to
+    # BENCH_LOCAL.json and keep the final stdout line compact: headline
+    # fields + one {mode: value} map.
+    try:
+        here = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_LOCAL.json")
+        with open(here, "a") as f:
+            f.write(json.dumps(result) + "\n")
+    except OSError as e:
+        print(f"bench: BENCH_LOCAL.json write failed: {e}", file=sys.stderr)
+
+    compact = {k: v for k, v in result.items() if k != "modes"}
+    if extras:
+        compact["modes"] = {
+            m: (round(r["value"], 3) if isinstance(r.get("value"), (int, float))
+                else {"error": str(r.get("error", "?"))[:80]})
+            for m, r in extras.items()
+        }
+        compact["detail"] = "BENCH_LOCAL.json"
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

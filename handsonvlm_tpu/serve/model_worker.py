@@ -361,6 +361,7 @@ class ModelWorker:
                     q.put({"text": decode(pieces), "error_code": 0})
 
                 def run_cont():
+                    from handsonvlm_tpu.serve.scheduler import SLORejected
                     try:
                         pred, valid, _gen = self._generate_continuous(
                             payload, frames, seed, on_tokens=on_tokens)
@@ -371,6 +372,11 @@ class ModelWorker:
                             "error_code": 0,
                             "finish": True,
                         })
+                    except SLORejected as e:
+                        # load shed, not failure: error_code 3 matches the
+                        # non-stream path's 429 so streaming clients can
+                        # retry elsewhere (--ttft-slo help text)
+                        q.put({"error": str(e), "error_code": 3, "finish": True})
                     except Exception as e:  # noqa: BLE001
                         q.put({"error": str(e), "error_code": 1, "finish": True})
                     q.put(None)

@@ -92,6 +92,22 @@ class ContinuousScheduler:
         # never rejects (no basis for a prediction).
         self._step_s: Optional[float] = None
         self._join_s: Optional[float] = None
+        # First-call samples are COMPILES (minutes remotely at 7B), not
+        # dispatches: folding one into _join_s seeds estimate_ttft() in the
+        # hundreds of seconds and every SLO'd submit 429s forever after
+        # (rejections prevent joins, so the EWMA can never recover — a
+        # livelock). Skip the first sample per compiled program: joins are
+        # compiled per (group width, prompt bucket), the step program once
+        # per engine. Belt-and-braces: _ewma clamps any later outlier
+        # (recompile on a new shape) and persistent rejections admit a
+        # probe request so a poisoned estimate can still heal.
+        self._compiled_joins: set = set()
+        self._step_warm = False
+        self._consec_rejections = 0
+        # chunk-steps remaining for tickets popped for an in-flight join:
+        # they occupy neither _pending nor _live during the dispatch
+        # (seconds at 7B) and would otherwise be invisible to the estimator
+        self._in_flight_steps: List[int] = []
         # fused-join width cap: the group prefill's transient KV cache is
         # ~n * 270 MB at 7B — n=16 blew HBM by 3 GB (docs/PERF_NOTES.md
         # round 4); n=8 fits beside the serving cache with margin
@@ -123,11 +139,20 @@ class ContinuousScheduler:
             if slo is not None:
                 est = self.estimate_ttft()
                 if est is not None and est > slo:
-                    self.slo_rejections += 1
-                    raise SLORejected(
-                        f"estimated TTFT {est:.2f}s exceeds SLO {slo:.2f}s "
-                        f"({len(self._pending)} queued, "
-                        f"{len(self._live)} decoding)")
+                    # probe admission: if the estimate has rejected many
+                    # submits in a row it may be stale (no joins happen
+                    # while everything is rejected, so the EWMAs freeze);
+                    # let one request through to refresh the measurements
+                    if self._consec_rejections >= 8:
+                        self._consec_rejections = 0
+                    else:
+                        self.slo_rejections += 1
+                        self._consec_rejections += 1
+                        raise SLORejected(
+                            f"estimated TTFT {est:.2f}s exceeds SLO "
+                            f"{slo:.2f}s ({len(self._pending)} queued, "
+                            f"{len(self._live)} decoding)")
+            self._consec_rejections = 0
             self._pending.append(t)
             self._cv.notify()
         if not t.event.wait(timeout):
@@ -172,15 +197,26 @@ class ContinuousScheduler:
         free = sum(1 for s in eng.slots if not s.busy)
         live = [max(1, -(-(s.max_new - len(s.tokens)) // eng.chunk))
                 for s in eng.slots if s.busy]
+        # tickets popped for an in-flight join_many occupy neither _pending
+        # nor _live for the duration of the dispatch; count them as live
+        # rows with their full decode remaining (they consume those slots)
+        live = live + list(self._in_flight_steps)
+        free = max(0, free - len(self._in_flight_steps))
         queued = [max(1, -(-p.max_new // eng.chunk)) for p in self._pending]
         steps = self._estimate_steps(free, live, queued)
         if steps is None:
             return None
-        # one join dispatch puts the first token out once the slot frees
-        return steps * self._step_s + self._join_s
+        # join dispatches ahead of ours also serialize on the loop thread:
+        # ~one join per max_join_group queued requests, plus our own
+        n_joins = 1 + -(-len(queued) // max(1, self.max_join_group))
+        return steps * self._step_s + n_joins * self._join_s
 
     def _ewma(self, attr: str, dt: float, alpha: float = 0.3):
         prev = getattr(self, attr)
+        if prev is not None and dt > 10 * prev:
+            # recompile / hiccup outlier: clamp rather than drop, so a
+            # sustained genuine slowdown still walks the estimate up
+            dt = 10 * prev
         setattr(self, attr, dt if prev is None else
                 (1 - alpha) * prev + alpha * dt)
 
@@ -276,15 +312,27 @@ class ContinuousScheduler:
                 keep = 1 << (len(group).bit_length() - 1)
                 while len(group) > keep:
                     self._pending.appendleft(group.pop())
+                # popped tickets stay visible to estimate_ttft for the
+                # duration of the join dispatch (seconds at 7B)
+                self._in_flight_steps = [
+                    max(1, -(-t.max_new // eng.chunk)) for t in group]
             try:
+                join_key = (len(group),
+                            eng._bucket(max(t.ids.shape[1] for t in group)))
                 t_join = time.perf_counter()
                 rows = eng.join_many([
                     dict(input_ids=t.ids, images=t.images, seed=t.seed,
                          max_new=t.max_new, temperature=t.temperature,
                          top_p=t.top_p, frame_map=t.frame_map)
                     for t in group])
-                self._ewma("_join_s", time.perf_counter() - t_join)
+                if join_key in self._compiled_joins:
+                    self._ewma("_join_s", time.perf_counter() - t_join)
+                else:
+                    # first call at this (width, bucket) includes the
+                    # compile — minutes remotely; poisonous to the EWMA
+                    self._compiled_joins.add(join_key)
             except Exception as e:  # noqa: BLE001
+                self._in_flight_steps = []
                 if len(group) == 1:
                     group[0].error = str(e)
                     group[0].event.set()
@@ -298,6 +346,7 @@ class ContinuousScheduler:
                     for t in reversed(group):
                         self._pending.appendleft(t)
                 continue
+            self._in_flight_steps = []
             for row, t in zip(rows, group):
                 # the join produced the request's first token — TTFT ends here
                 self.ttfts.append(time.perf_counter() - t.t_submit)
@@ -322,7 +371,11 @@ class ContinuousScheduler:
         else:
             t_step = time.perf_counter()
             done = eng.step()
-            self._ewma("_step_s", time.perf_counter() - t_step)
+            if self._step_warm:
+                self._ewma("_step_s", time.perf_counter() - t_step)
+            else:
+                # first step compiles the decode program — skip the sample
+                self._step_warm = True
         for row, out in done:
             self._finish(row, out)
         for row, t in list(self._live.items()):

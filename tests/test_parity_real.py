@@ -20,3 +20,7 @@ def test_parity_real_dryrun():
     assert steps["tokenizer"]["status"].startswith("PASS"), steps
     assert steps["logits(dryrun)"]["status"] == "PASS", steps
     assert steps["logits(dryrun)"]["max_abs_diff"] == 0.0
+    # VERDICT r4 #8: the dryrun must cover BOTH eval splits end-to-end
+    assert steps["eval(vanilla)(dryrun)"]["status"] == "PASS", steps
+    assert steps["eval(reason)(dryrun)"]["status"] == "PASS", steps
+    assert steps["eval(reason)(dryrun)"]["n"] == 2, steps

@@ -315,11 +315,40 @@ def test_slo_estimator_steps():
     assert est(0, [], []) is None         # no slots at all
 
 
+def test_slo_probe_admission_recovers_poisoned_estimate():
+    """ADVICE r4: a poisoned estimate (e.g. a compile-latency sample folded
+    into _join_s) must not 429 forever — after 8 consecutive rejections one
+    probe request is admitted so the EWMAs can refresh."""
+    sched = ContinuousScheduler(PARAMS, CFG, slots=1, **ENGINE_KW)
+    try:
+        ids, images = _prompt(0)
+        sched._step_s = 500.0
+        sched._join_s = 500.0  # est >= _join_s >> any sane SLO
+        from handsonvlm_tpu.serve.scheduler import SLORejected
+        for _ in range(8):
+            with pytest.raises(SLORejected, match="exceeds SLO"):
+                sched.submit(ids, images, seed=2, max_new=4,
+                             temperature=0.0, timeout=600, ttft_slo=0.5)
+        assert sched.slo_rejections == 8
+        # the 9th is admitted as a probe despite the stale estimate
+        out = sched.submit(ids, images, seed=3, max_new=4, temperature=0.0,
+                           timeout=600, ttft_slo=0.5)
+        assert int(out.num_tokens[0]) >= 1
+    finally:
+        sched.stop()
+
+
 def test_slo_rejects_when_saturated_and_admits_when_loose():
     sched = ContinuousScheduler(PARAMS, CFG, slots=1, **ENGINE_KW)
     try:
         ids, images = _prompt(0)
         done = {}
+
+        # warm the estimator: first-call join/step samples are treated as
+        # compiles and excluded from the EWMAs (the round-4 livelock fix),
+        # so one full request must complete before estimates exist
+        sched.submit(ids, images, seed=1, max_new=4, temperature=0.0,
+                     timeout=600)
 
         def run_long():
             done["out"] = sched.submit(ids, images, seed=7, max_new=60,

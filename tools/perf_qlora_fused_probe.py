@@ -89,10 +89,10 @@ def chain(fn, k, with_bwd):
 
     def once(x, ops):
         w8, s, a, b = ops
+        dx = None
         if with_bwd:
             (y, _), vjp = jax.vjp(lambda xx: fn(xx, w8, s, a, b)[0], x)
             (dx,) = vjp(y)  # cotangent = y: full-width bwd-dx at train dtype
-            y = y + dx
         else:
             y = fn(x, w8, s, a, b)[0]
         # fold n -> d for the next iteration without a (n, d) matmul:
@@ -104,6 +104,10 @@ def chain(fn, k, with_bwd):
             nxt = y[:, :d] + y[:, -d:]
         else:
             nxt = jnp.tile(y, (1, (d + n - 1) // n))[:, :d]
+        if dx is not None:
+            # dx is (M, d): add AFTER the n->d fold (y is (M, n); adding
+            # before broadcast-errored on the non-square shapes — ADVICE r4)
+            nxt = nxt + dx.astype(nxt.dtype)
         return (nxt * 1e-3).astype(x.dtype)
 
     @jax.jit

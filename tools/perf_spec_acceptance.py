@@ -56,6 +56,7 @@ def sweep(params, cfg, tok, ids, images, bank, temps, seeds, k, max_new):
         tot_tok = tot_fwd = 0
         hist = None
         cov = []
+        gated = []
         for seed in seeds:
             out, stats = generate_spec(
                 params, cfg, ids, jnp.asarray(images), jax.random.PRNGKey(seed),
@@ -68,6 +69,7 @@ def sweep(params, cfg, tok, ids, images, bank, temps, seeds, k, max_new):
             hist = h if hist is None else hist + h
             n = int(out.num_tokens[0])
             cov.append(bank_bigram_coverage(bank, out.sequences[0, :n]))
+            gated.append(bool(stats.get("gated", False)))
         rows.append({
             "temperature": temp,
             "tok_per_fwd": round(tot_tok / max(tot_fwd, 1), 3),
@@ -75,6 +77,9 @@ def sweep(params, cfg, tok, ids, images, bank, temps, seeds, k, max_new):
             "forwards": tot_fwd,
             "accept_hist": [int(x) for x in hist],
             "bank_bigram_coverage": round(float(np.mean(cov)), 3),
+            # acceptance-gate verdicts (one per seed): True = the probe
+            # chunk measured < gate_tok_per_fwd and fell back to k=0
+            "gated": gated,
         })
         print(json.dumps(rows[-1]), flush=True)
     return rows
@@ -101,8 +106,26 @@ def run_train_tiny(args):
 
     ids = np.asarray(inst["input_ids"])[None][:, :cut]
     bank = build_template_bank(tok, cfg, (narr,))
-    sweep(state.params, cfg, tok, ids, inst["image"][None], bank,
-          temps=[0.5, 0.0], seeds=range(5), k=args.k, max_new=24)
+    # regime 1: trained/matched — acceptance well above the 1.2 gate
+    # threshold, so the probe must NOT trip the k=0 fallback
+    print("regime=trained (memorized template; expect gated=false)",
+          flush=True)
+    trained = sweep(state.params, cfg, tok, ids, inst["image"][None], bank,
+                    temps=[0.5, 0.0], seeds=range(5), k=args.k, max_new=24)
+    # regime 2: random weights — the round-2 losing case; the probe chunk
+    # must measure ~1.0x acceptance and trip the gate (VERDICT r4 #9:
+    # both gate verdicts demonstrated end-to-end in one run)
+    from handsonvlm_tpu.models.handsonvlm import init_handsonvlm
+
+    rand = init_handsonvlm(jax.random.PRNGKey(7), cfg)
+    print("regime=random (untrained weights; expect gated=true)", flush=True)
+    random_rows = sweep(rand, cfg, tok, ids, inst["image"][None], bank,
+                        temps=[0.5], seeds=range(5), k=args.k, max_new=24)
+    ok_trained = not any(g for r in trained for g in r["gated"])
+    ok_random = all(g for r in random_rows for g in r["gated"])
+    print(json.dumps({"gate_decision_ok": {
+        "trained_all_ungated": ok_trained,
+        "random_all_gated": ok_random}}), flush=True)
 
 
 def run_real(args):

@@ -133,6 +133,19 @@ def main():
             freeze_top_keys=("vision",) if full_sft else ("vision", "llama"),
             mu_dtype=jnp.bfloat16 if mu_bf16 else None,
         )
+        if quant != quants[0] and not mu_bf16:
+            # the llama restructure (flat -> stacked) changes the opt_state
+            # pytree, so the first variant's Adam moments cannot be grafted
+            # onto the second — and this tunnel never returns freed device
+            # buffers (CLAUDE.md), so the dropped moments (~2.6 GB at r=128
+            # fp32) are simply LOST for the rest of the process. Warn: the
+            # two-variant sweep should run with PERF_MU_BF16=1 (halves the
+            # lost+new moment memory) or a smaller PERF_R at 7B.
+            print("WARNING: second quant variant re-inits Adam moments; the "
+                  "first variant's are leaked on this backend (freed device "
+                  "memory is never reusable). Use PERF_MU_BF16=1 or smaller "
+                  "PERF_R to keep the two-variant sweep inside HBM at 7B.",
+                  flush=True)
         state = create_train_state(params, tx)
         steps_by_remat = {}
         for rm in remats:
