@@ -395,10 +395,12 @@ def run_serve_single():
     n_iters = 3
     total_tokens = 0
     total_dt = 0.0
+    sched.ttfts.clear()  # warm-run TTFTs include compiles
     for i in range(1, n_iters + 1):
         n, dt = burst(i * 100)
         total_tokens += n
         total_dt += dt
+    tt = sorted(sched.ttfts)
     sched.stop()
 
     print(json.dumps({
@@ -407,6 +409,9 @@ def run_serve_single():
         "unit": "tokens/s/chip",
         "slots": slots, "burst_requests": n_req, "chunk": chunk,
         "max_len": max_len, "new_tokens": max_new,
+        "ttft_p50_s": round(tt[len(tt) // 2], 2) if tt else None,
+        "ttft_p95_s": (round(tt[min(len(tt) - 1, int(len(tt) * 0.95))], 2)
+                       if tt else None),
         "platform": platform,
         "wall_s": round(time.time() - t_start, 1),
     }))

@@ -68,11 +68,14 @@ def main():
     p.add_argument("--qlora", choices=["int8", "int8_fused", "int4"],
                    default=None,
                    help="quantize the frozen decoder base (requires --lora-r): "
-                        "int4 fits a 7B QLoRA fine-tune on one 16 GB chip "
-                        "(gradients flow through the quantized projections "
-                        "via ops/int8_matmul custom VJPs); int8_fused runs "
-                        "the int8 base through pallas kernels that fuse the "
-                        "LoRA delta into the GEMM epilogue (ops/qlora_fused)")
+                        "int8 is the 7B recommendation (53-54% MFU), int4 "
+                        "fits 13B on one 16 GB chip (gradients flow through "
+                        "the quantized projections via ops/int8_matmul "
+                        "custom VJPs); int8_fused is EXPERIMENTAL AND "
+                        "MEASURED SLOWER than int8 (290 vs 272 ms/step at "
+                        "7B r=128 — the pallas base GEMM trails XLA's int8 "
+                        "dot and the epilogue fusion recovers only ~2 ms of "
+                        "the adapter tax; docs/PERF_NOTES.md round 5)")
     p.add_argument("--tune-mm-mlp-adapter", action="store_true",
                    help="train only the mm_projector and save adapter-only "
                         "checkpoints (reference train.py:104-122 "

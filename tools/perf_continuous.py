@@ -84,9 +84,13 @@ def main():
     images = jnp.asarray(uframes, cfg.cdtype)
     fmap = jnp.asarray(frame_map)
 
+    # operating-point knobs (VERDICT r4 #5): group width caps how many
+    # wave-1 requests share one join dispatch (smaller groups -> earlier
+    # first tokens for the group's tail, more join dispatches)
+    mjg = int(os.environ.get("HANDSONVLM_MJG", "8"))
     sched = ContinuousScheduler(
         params, cfg, slots=slots, max_len=max_len, chunk=chunk,
-        temperature=0.5, top_p=0.9, kv_quant="int8")
+        temperature=0.5, top_p=0.9, kv_quant="int8", max_join_group=mjg)
 
     def run_continuous(seed0):
         """Burst: all requests submitted at t=0; scheduler admits/refills."""
@@ -140,9 +144,10 @@ def main():
         n, dt, lats = run_continuous(r * 100)
         p50 = lats[len(lats) // 2]
         tt = sorted(sched.ttfts)
-        ttft = (f"; TTFT p50 {tt[len(tt) // 2]:.2f}s max {tt[-1]:.2f}s"
-                if tt else "")
-        print(f"round {r} continuous  S={slots} chunk={chunk}: "
+        ttft = (f"; TTFT p50 {tt[len(tt) // 2]:.2f}s "
+                f"p95 {tt[min(len(tt) - 1, int(len(tt) * 0.95))]:.2f}s "
+                f"max {tt[-1]:.2f}s" if tt else "")
+        print(f"round {r} continuous  S={slots} chunk={chunk} mjg={mjg}: "
               f"{n/dt:7.1f} tok/s aggregate ({n} tokens in {dt:.1f}s; "
               f"req latency p50 {p50:.1f}s max {lats[-1]:.1f}s{ttft})",
               flush=True)

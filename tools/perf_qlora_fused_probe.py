@@ -91,7 +91,7 @@ def chain(fn, k, with_bwd):
         w8, s, a, b = ops
         dx = None
         if with_bwd:
-            (y, _), vjp = jax.vjp(lambda xx: fn(xx, w8, s, a, b)[0], x)
+            y, vjp = jax.vjp(lambda xx: fn(xx, w8, s, a, b)[0], x)
             (dx,) = vjp(y)  # cotangent = y: full-width bwd-dx at train dtype
         else:
             y = fn(x, w8, s, a, b)[0]
@@ -123,12 +123,22 @@ def chain(fn, k, with_bwd):
 def main():
     dev = jax.devices()[0]
     print(f"device: {dev}  M={M} R={R} L={L}")
-    for with_bwd in (False, True):
+    # staged runs on the slow remote compiler: PERF_VARIANTS / PERF_SHAPES /
+    # PERF_BWD narrow the (variant, shape, fwd/bwd) grid per invocation
+    only_v = [v for v in os.environ.get("PERF_VARIANTS", "").split(",") if v]
+    only_s = [s for s in os.environ.get("PERF_SHAPES", "").split(",") if s]
+    bwd_modes = {"fwd": (False,), "bwd": (True,),
+                 "both": (False, True)}[os.environ.get("PERF_BWD", "both")]
+    for with_bwd in bwd_modes:
         tag = "fwd+bwd" if with_bwd else "fwd"
         for name, d, n in SHAPES:
+            if only_s and name not in only_s:
+                continue
             x, w8, s, a, b = make_ops(d, n, seed=hash((d, n)) % 2**31)
             results = {}
             for vname, fn in variants(d, n).items():
+                if only_v and vname not in only_v:
+                    continue
                 ts = {}
                 for k in KS:
                     run = chain(fn, k, with_bwd)
