@@ -217,42 +217,60 @@ def _infer_all_batched(engine: InferenceEngine, dataset, n: int,
 
     from handsonvlm_tpu.serve.scheduler import ContinuousScheduler
 
+    # admit_hold_s: the submit wave must coalesce into FULL-width fused
+    # joins. Without it, arrival stagger fragments a 16-request burst into
+    # a ragged sequence of narrow width classes — each a separate remote
+    # compile (minutes at 7B) and a separate ~seconds join dispatch
+    # (measured x0.5 vs serial from exactly this, docs/PERF_NOTES.md r5).
     sched = ContinuousScheduler(
         engine.params, engine.cfg, slots=slots, max_len=max_len, chunk=chunk,
         temperature=engine.temperature, top_p=engine.top_p,
-        kv_quant=engine.kv_quant)
-    work: queue.Queue = queue.Queue()
-    for i in range(n):
-        for s in range(num_samples):
-            work.put((i, s))
+        kv_quant=engine.kv_quant, admit_hold_s=0.25)
     results: Dict = {}
     errors = []
+    n_consumers = max(2 * slots, 4)
+    # request prep (tokenize, frame dedup, image upload) is seconds of
+    # host work per clip at 100 frames — off the submit path, bounded
+    # prefetch so EK100-scale runs never hold all clips on device at once;
+    # one image upload per clip is SHARED across its num_samples requests
+    prepared: queue.Queue = queue.Queue(maxsize=max(4 * slots, 8))
+
+    def producer():
+        try:
+            for i in range(n):
+                sample = dataset[i]
+                ids = jnp.asarray(engine.build_prompt_ids(sample["prompt"]))
+                images, fmap = engine.dedup_frames(
+                    np.asarray(sample["image"][None]))
+                images = jnp.asarray(images, engine.cfg.cdtype)
+                fmap = None if fmap is None else jnp.asarray(fmap)
+                for s in range(num_samples):
+                    prepared.put((i, s, ids, images, fmap))
+        except Exception as e:  # noqa: BLE001 — surface after join
+            errors.append(("producer", -1, repr(e)))
+        finally:
+            for _ in range(n_consumers):
+                prepared.put(None)
 
     def runner():
         while True:
-            try:
-                i, s = work.get_nowait()
-            except queue.Empty:
+            item = prepared.get()
+            if item is None:
                 return
+            i, s, ids, images, fmap = item
             try:
-                sample = dataset[i]
-                ids = engine.build_prompt_ids(sample["prompt"])
-                images, fmap = engine.dedup_frames(
-                    np.asarray(sample["image"][None]))
                 out = sched.submit(
-                    jnp.asarray(ids),
-                    jnp.asarray(images, engine.cfg.cdtype),
+                    ids, images,
                     seed=seed * 1_000_003 + i * num_samples + s,
                     max_new=engine.max_new_tokens,
-                    frame_map=None if fmap is None else jnp.asarray(fmap),
-                    timeout=3600,
+                    frame_map=fmap, timeout=3600,
                 )
                 results[(i, s)] = out
             except Exception as e:  # noqa: BLE001 — surface after join
                 errors.append((i, s, repr(e)))
 
-    threads = [threading.Thread(target=runner)
-               for _ in range(max(2 * slots, 4))]
+    threads = [threading.Thread(target=producer)] + [
+        threading.Thread(target=runner) for _ in range(n_consumers)]
     for t in threads:
         t.start()
     for t in threads:

@@ -77,7 +77,8 @@ class ContinuousScheduler:
                  kv_quant: Optional[str] = None,
                  eos_token_id: int = EOS_TOKEN_ID,
                  max_join_group: int = 8,
-                 ttft_slo: Optional[float] = None):
+                 ttft_slo: Optional[float] = None,
+                 admit_hold_s: float = 0.0):
         self.engine = ContinuousEngine(
             params, cfg, slots=slots, max_len=max_len, chunk=chunk,
             temperature=temperature, top_p=top_p, attn_impl=attn_impl,
@@ -112,6 +113,14 @@ class ContinuousScheduler:
         # ~n * 270 MB at 7B — n=16 blew HBM by 3 GB (docs/PERF_NOTES.md
         # round 4); n=8 fits beside the serving cache with margin
         self.max_join_group = max_join_group
+        # burst coalescing: when the engine is idle and a burst of submits
+        # is landing, wait up to this long for stragglers before admitting,
+        # so the wave forms ONE full-width fused join instead of a ragged
+        # sequence of narrow ones — each narrow width class is a separate
+        # remote compile (minutes at 7B) and a separate dispatch (~seconds).
+        # 0.0 (default) preserves latency-first admission for serving; the
+        # batched evaluator sets ~0.25 s (docs/PERF_NOTES.md round 5).
+        self.admit_hold_s = admit_hold_s
         self._pending: collections.deque = collections.deque()
         self._live: dict = {}  # row -> ticket
         self.ttfts: List[float] = []  # submit -> first-token latencies (s)
@@ -274,6 +283,18 @@ class ContinuousScheduler:
         rounded down to powers of two so the set of compiled join
         programs stays small (each remote 7B compile is minutes)."""
         eng = self.engine
+        if self.admit_hold_s > 0:
+            # idle-engine burst coalescing (see __init__): only when nothing
+            # is decoding — with live rows the loop paces at step time and
+            # arrivals accumulate between steps on their own
+            deadline = time.perf_counter() + self.admit_hold_s
+            with self._cv:
+                while (not self._stopped and self._pending and not self._live
+                       and len(self._pending) < self.max_join_group):
+                    remaining = deadline - time.perf_counter()
+                    if remaining <= 0:
+                        break
+                    self._cv.wait(timeout=remaining)
         while True:
             group: List[_Ticket] = []
             with self._cv:

@@ -58,7 +58,14 @@ def make_hoi_optimizer(
 ) -> optax.GradientTransformation:
     lr_ = schedule if schedule is not None else lr
     if kind == "adam":
-        make = lambda wd: optax.adamw(lr_, weight_decay=wd) if wd else optax.adam(lr_)
+        # torch.optim.Adam couples weight decay as L2 added to the grad
+        # BEFORE the moment updates (optimizer.py:47-48) — not AdamW's
+        # decoupled decay; add_decayed_weights feeds adam's moments the
+        # same grad+wd*p torch sees (tests/test_hoi_convergence_parity.py)
+        make = lambda wd: optax.chain(
+            optax.add_decayed_weights(wd) if wd else optax.identity(),
+            optax.adam(lr_),
+        )
     elif kind == "adamw":
         make = lambda wd: optax.adamw(lr_, weight_decay=wd)
     elif kind == "sgd":
@@ -67,9 +74,10 @@ def make_hoi_optimizer(
             optax.sgd(lr_, momentum=momentum),
         )
     elif kind == "rms":
+        # torch.optim.RMSprop defaults alpha=0.99 (optax's decay is 0.9)
         make = lambda wd: optax.chain(
             optax.add_decayed_weights(wd) if wd else optax.identity(),
-            optax.rmsprop(lr_),
+            optax.rmsprop(lr_, decay=0.99),
         )
     else:
         raise ValueError(kind)

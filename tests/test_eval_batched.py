@@ -81,3 +81,30 @@ def test_batched_eval_sampled_runs():
         batched_max_len=1024, batched_chunk=4)
     assert set(result) == {"ade", "fde", "wde", "n", "val_info"}
     assert len(result["val_info"]) == 3
+
+
+def test_batched_eval_joins_at_full_width(monkeypatch):
+    """Burst coalescing (round 5): request prep happens off the submit path
+    and the scheduler holds idle-engine admission briefly, so an n-clip
+    burst forms FULL-width fused joins ([slots, slots, ...]) instead of a
+    ragged arrival-timing-dependent sequence (each narrow width class is a
+    separate compiled join program — minutes each remotely at 7B)."""
+    from handsonvlm_tpu.serve.continuous import ContinuousEngine
+
+    widths = []
+    orig = ContinuousEngine.join_many
+
+    def logged(self, reqs):
+        widths.append(len(reqs))
+        return orig(self, reqs)
+
+    monkeypatch.setattr(ContinuousEngine, "join_many", logged)
+    params = init_handsonvlm(jax.random.PRNGKey(0), CFG)
+    engine = InferenceEngine(
+        params=params, cfg=CFG, tokenizer=MockTokenizer(), max_new_tokens=6,
+        temperature=0.0,
+    )
+    evaluate_epic_kitchen_traj(
+        engine, StubDataset(8), batched=4, seed=1, log_every=0,
+        batched_max_len=1024, batched_chunk=4)
+    assert widths == [4, 4], widths
