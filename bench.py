@@ -335,8 +335,10 @@ def run_serve_single():
     # 13B's bigger per-position rows keep it at 4 slots.
     slots = int(os.environ.get(
         "HANDSONVLM_BENCH_SLOTS", "16" if preset == "7b" else "4"))
+    # 13B: slots stay 4 (KV memory) but burst 8 so the aggregate number
+    # amortizes joins over two waves like the 7B config does
     n_req = int(os.environ.get(
-        "HANDSONVLM_BENCH_REQS", "32" if preset == "7b" else "4"))
+        "HANDSONVLM_BENCH_REQS", "32" if preset == "7b" else "8"))
     max_len = int(os.environ.get(
         "HANDSONVLM_BENCH_SERVE_LEN", "2048" if preset == "7b" else "4096"))
     chunk = int(os.environ.get("HANDSONVLM_BENCH_SERVE_CHUNK", "16"))
@@ -368,9 +370,17 @@ def run_serve_single():
     images_unique = jnp.asarray(uframes, cfg.cdtype)
     frame_map = jnp.asarray(np.tile(np.arange(n_unique, dtype=np.int32), reps))
 
+    # admit_hold coalesces each burst into one full-width join (idle-engine
+    # only, so it cannot slow decode): without it small bursts fragment
+    # into arrival-timing-dependent narrow widths, so the warm run and the
+    # measured rounds compile DIFFERENT join programs — at 13B that put a
+    # ~16 s remote compile inside the measured window (ttft_p95 16.28 s,
+    # BENCH_LOCAL 2026-08-20)
     sched = ContinuousScheduler(
         params, cfg, slots=slots, max_len=max_len, chunk=chunk,
-        temperature=0.5, top_p=0.9, kv_quant="int8")
+        temperature=0.5, top_p=0.9, kv_quant="int8",
+        admit_hold_s=float(os.environ.get("HANDSONVLM_BENCH_SERVE_HOLD",
+                                          "0.25")))
 
     import threading
 
@@ -455,7 +465,10 @@ def run_long_single():
 
     cfg = _build_config(preset).llama
     platform = jax.devices()[0].platform
-    b = int(os.environ.get("HANDSONVLM_BENCH_LONG_B", "4"))
+    # 13B: b=4 int8 KV at s=4608 is ~7.6 GB of cache beside 6.7 GB int4
+    # weights — HLO-temp OOM on a 16 GB chip (measured round 5); b=2 fits
+    b = int(os.environ.get("HANDSONVLM_BENCH_LONG_B",
+                           "4" if preset != "13b" else "2"))
     s = int(os.environ.get("HANDSONVLM_BENCH_LONG_S", "4608"))
     cursor = int(os.environ.get("HANDSONVLM_BENCH_LONG_CURSOR", "4096"))
 
