@@ -270,8 +270,13 @@ class ContinuousScheduler:
     def _shape_key(t: _Ticket):
         """Tickets groupable into one fused join must agree on the device
         array shapes the batched prefill stacks (prompt lengths may differ
-        — the engine left-pads)."""
-        fm = None if t.frame_map is None else np.asarray(t.frame_map).shape
+        — the engine left-pads). Read `.shape` attributes only: frame_map
+        is usually a DEVICE array, and np.asarray on it is a full
+        device_get — a ~35 ms tunnel sync on EVERY admission-loop pass
+        (found by tools/perf_eval_breakdown.py, round 5)."""
+        fm = getattr(t.frame_map, "shape", None)
+        if fm is None and t.frame_map is not None:
+            fm = np.asarray(t.frame_map).shape  # plain list fallback
         return (getattr(t.images, "shape", None), fm)
 
     def _admit(self):
@@ -288,9 +293,13 @@ class ContinuousScheduler:
             # is decoding — with live rows the loop paces at step time and
             # arrivals accumulate between steps on their own
             deadline = time.perf_counter() + self.admit_hold_s
+            # a join can never be wider than free slots, so stop holding as
+            # soon as the pending wave covers min(free, max_join_group)
+            free = sum(1 for s in eng.slots if not s.busy)
+            target = max(1, min(free, self.max_join_group))
             with self._cv:
                 while (not self._stopped and self._pending and not self._live
-                       and len(self._pending) < self.max_join_group):
+                       and len(self._pending) < target):
                     remaining = deadline - time.perf_counter()
                     if remaining <= 0:
                         break

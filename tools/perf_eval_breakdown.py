@@ -3,13 +3,20 @@
 The fixed full-width-join eval run still measured x0.55 vs serial at
 (16 clips, slots=8, max_new=100) while the same engine posts 340+ tok/s
 aggregate in serving benches — ~25 s of the batched leg is unaccounted
-for. This probe runs ONE batched eval with the scheduler's phases timed:
+for. This probe submits the SAME workload scheduler-direct (no evaluator
+wrapper, no ADE scoring) with the scheduler's phases timed:
 
-  joins     — engine.join_many (CLIP encode + fused prefill + first token)
-  steps     — engine.step (one chunk dispatch + host unpack/device_get)
-  admit     — scheduler._admit outside join_many (host bookkeeping)
-  finalize  — engine._finalize (per-row output device_get + packing)
-  residual  — wall minus all of the above (loop waits, scoring, producer)
+  join_many — CLIP encode + fused prefill + first token (per group)
+  step      — one chunk dispatch + packed device_get (per chunk)
+  _admit    — admission incl. join_many + host bookkeeping
+  _finalize — per-row output device_get + packing
+  residual  — wall minus loop-accounted (waits, submit-side host work)
+
+ONE scheduler serves all rounds (a second would OOM: the slots cache is
+8.6 GB at S=8 x 4096 int8 and freed device memory never returns on this
+tunnel — evaluate(batched=N) allocates per call, so this probe bypasses
+it). Requests are prepared upfront; prompts/frames match
+tools/perf_eval_batched.SynthClips so compiled buckets are shared.
 
 Usage:
   PYTHONPATH=/root/repo:/root/.axon_site nohup python \
@@ -21,9 +28,11 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/handsonvlm_jax")
@@ -32,10 +41,7 @@ if os.environ.get("HANDSONVLM_CPU"):
 
 from handsonvlm_tpu.core.config import get_config, tiny_config  # noqa: E402
 from handsonvlm_tpu.data.mock_tokenizer import MockTokenizer  # noqa: E402
-from handsonvlm_tpu.eval.evaluator import (  # noqa: E402
-    InferenceEngine,
-    evaluate_epic_kitchen_traj,
-)
+from handsonvlm_tpu.eval.evaluator import InferenceEngine  # noqa: E402
 from handsonvlm_tpu.serve import scheduler as sched_mod  # noqa: E402
 from handsonvlm_tpu.serve.continuous import ContinuousEngine  # noqa: E402
 
@@ -47,7 +53,6 @@ class T:
 
     def wrap(self, cls, name):
         orig = getattr(cls, name)
-        key = name
 
         def timed(obj, *a, **k):
             t0 = time.perf_counter()
@@ -55,8 +60,8 @@ class T:
                 return orig(obj, *a, **k)
             finally:
                 dt = time.perf_counter() - t0
-                self.t[key] = self.t.get(key, 0.0) + dt
-                self.n[key] = self.n.get(key, 0) + 1
+                self.t[name] = self.t.get(name, 0.0) + dt
+                self.n[name] = self.n.get(name, 0) + 1
 
         setattr(cls, name, timed)
 
@@ -100,24 +105,23 @@ def main():
         params=params, cfg=cfg, tokenizer=MockTokenizer(),
         max_new_tokens=max_new, kv_quant=kvq)
 
-    rng = np.random.default_rng(0)
+    # prepare requests exactly as the fixed evaluator producer does —
+    # prompts/frames match perf_eval_batched.SynthClips (warm buckets)
     n_unique = min(10, cfg.num_frames)
     reps = cfg.num_frames // n_unique
-
-    class DS:
-        def __len__(self):
-            return n_clips
-
-        def __getitem__(self, i):
-            r = np.random.default_rng(i)
-            u = r.normal(size=(n_unique, 3, cfg.vision.image_size,
-                               cfg.vision.image_size)).astype(np.float32)
-            return {
-                "prompt": f"Where should my hand move to open shelf {i}?",
-                "image": np.tile(u, (reps, 1, 1, 1)),
-                "future_hands": np.zeros((2, 5, 2), np.float32),
-                "future_valid": np.ones(2, np.float32),
-            }
+    prepared = []
+    for i in range(n_clips):
+        r = np.random.default_rng(i)
+        u = r.normal(size=(n_unique, 3, cfg.vision.image_size,
+                           cfg.vision.image_size)).astype(np.float32)
+        frames = np.tile(u, (reps, 1, 1, 1))
+        prompt = (f"Where should my hand move to if I want to open the "
+                  f"fridge shelf {i}?")
+        ids = jnp.asarray(engine.build_prompt_ids(prompt))
+        images, fmap = engine.dedup_frames(np.asarray(frames[None]))
+        prepared.append((ids, jnp.asarray(images, cfg.cdtype),
+                         None if fmap is None else jnp.asarray(fmap)))
+    jax.block_until_ready([p[1] for p in prepared])
 
     timers = T()
     timers.wrap(ContinuousEngine, "join_many")
@@ -127,30 +131,47 @@ def main():
     timers.wrap(sched_mod.ContinuousScheduler, "_admit")
     timers.wrap(sched_mod.ContinuousScheduler, "_step_once")
 
-    def run():
-        for k in (timers.t, timers.n):
-            k.clear()
+    sched = sched_mod.ContinuousScheduler(
+        params, cfg, slots=slots, max_len=max_len, chunk=chunk,
+        temperature=engine.temperature, top_p=engine.top_p,
+        kv_quant=kvq, admit_hold_s=0.25)
+
+    def run(seed0):
+        for d in (timers.t, timers.n):
+            d.clear()
+        toks = {}
+
+        def one(i):
+            ids, images, fmap = prepared[i]
+            out = sched.submit(ids, images, seed=seed0 + i, max_new=max_new,
+                               frame_map=fmap, timeout=3600)
+            toks[i] = int(out.num_tokens[0])
+
         t0 = time.perf_counter()
-        evaluate_epic_kitchen_traj(
-            engine, DS(), seed=1, log_every=0, batched=slots,
-            batched_max_len=max_len, batched_chunk=chunk)
+        threads = [threading.Thread(target=one, args=(i,))
+                   for i in range(n_clips)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
         wall = time.perf_counter() - t0
-        rec = {"wall_s": round(wall, 2)}
+        total = sum(toks.values())
+        rec = {"wall_s": round(wall, 2), "tokens": total,
+               "tok_per_s": round(total / wall, 1)}
         for key in sorted(timers.t):
             rec[key] = {"n": timers.n[key], "s": round(timers.t[key], 2)}
-        # step time is included in _step_once; admit includes join_many
         accounted = (timers.t.get("_admit", 0.0)
                      + timers.t.get("_step_once", 0.0))
         rec["loop_accounted_s"] = round(accounted, 2)
         rec["residual_s"] = round(wall - accounted, 2)
         print(json.dumps(rec), flush=True)
-        return wall
 
     print(f"preset={preset} clips={n_clips} slots={slots} "
           f"max_new={max_new} chunk={chunk}", flush=True)
-    run()  # warm (compiles)
-    run()
-    run()
+    run(10_000)  # warm (compiles)
+    run(100)
+    run(200)
+    sched.stop()
 
 
 if __name__ == "__main__":

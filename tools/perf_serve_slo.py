@@ -23,6 +23,8 @@ Usage (parent sweep):
   env: PERF_POINTS="16x2048x8,8x2048x8,8x2048x4,8x4096x4,16x2048x8@2.0"
        (slots x max_len x max_join_group, optional @ttft_slo seconds)
        PERF_REQS=32 PERF_MAXNEW=64 PERF_ROUNDS=2
+       PERF_ARRIVAL_S=0.2 switches from burst to paced open-loop arrivals
+       (one submit every 0.2 s) — the sustained-load operating point.
 Single point (child): PERF_POINT="16x2048x8" (same @slo syntax).
 """
 
@@ -122,10 +124,21 @@ def run_point(point: str):
         chunk=int(os.environ.get("PERF_CHUNK", "16")),
         temperature=0.5, top_p=0.9, kv_quant=kv_quant, max_join_group=mjg)
 
+    # PERF_ARRIVAL_S > 0 staggers submits at that inter-arrival gap
+    # (sustained open-loop load) instead of an all-at-t0 burst: with the
+    # offered rate under capacity the queue stays shallow and TTFT
+    # reflects dispatch latency, not queue depth — the steady-state
+    # operating point. 0 (default) = burst, comparable to perf_continuous.
+    arrival_s = float(os.environ.get("PERF_ARRIVAL_S", "0"))
+
     def burst(seed0, use_slo):
         served, shed, lat = {}, [], {}
+        start = time.perf_counter() + 0.05
 
         def one(i):
+            if arrival_s > 0:
+                time.sleep(max(0.0, start + i * arrival_s
+                               - time.perf_counter()))
             t0 = time.perf_counter()
             try:
                 out = sched.submit(
@@ -163,7 +176,8 @@ def run_point(point: str):
         tt = sorted(sched.ttfts)
         rec = {
             "point": point, "slots": slots, "max_len": max_len, "mjg": mjg,
-            "ttft_slo": slo, "round": r, "reqs": n_req, "served": len(lats),
+            "ttft_slo": slo, "arrival_s": arrival_s or None,
+            "round": r, "reqs": n_req, "served": len(lats),
             "shed": n_shed, "tokens": n,
             "tok_per_s": round(n / dt, 1), "wall_s": round(dt, 1),
             "ttft_p50": round(_pct(tt, 0.50), 2) if tt else None,
