@@ -222,10 +222,25 @@ def _infer_all_batched(engine: InferenceEngine, dataset, n: int,
     # a ragged sequence of narrow width classes — each a separate remote
     # compile (minutes at 7B) and a separate ~seconds join dispatch
     # (measured x0.5 vs serial from exactly this, docs/PERF_NOTES.md r5).
-    sched = ContinuousScheduler(
-        engine.params, engine.cfg, slots=slots, max_len=max_len, chunk=chunk,
-        temperature=engine.temperature, top_p=engine.top_p,
-        kv_quant=engine.kv_quant, admit_hold_s=0.25)
+    # The scheduler is cached on the engine and REUSED across evaluate
+    # calls: its slots cache is multi-GB (8.6 GB at S=8 x 4096 int8 KV, 7B)
+    # and freed device memory never returns to the allocator on this
+    # backend — a per-call scheduler allocates a fresh cache every run
+    # (OOM or allocator-thrash), while one engine-owned scheduler matches
+    # production use (one engine for the whole 3.5k-clip EK100 run). The
+    # engine resets its cursor whenever all slots go idle, so back-to-back
+    # runs stay bit-equal to a fresh engine.
+    key = (slots, max_len, chunk)
+    scheds = getattr(engine, "_batched_scheds", None)
+    if scheds is None:
+        scheds = engine._batched_scheds = {}
+    sched = scheds.get(key)
+    if sched is None:
+        sched = ContinuousScheduler(
+            engine.params, engine.cfg, slots=slots, max_len=max_len,
+            chunk=chunk, temperature=engine.temperature, top_p=engine.top_p,
+            kv_quant=engine.kv_quant, admit_hold_s=0.25)
+        scheds[key] = sched
     results: Dict = {}
     errors = []
     n_consumers = max(2 * slots, 4)
@@ -278,7 +293,8 @@ def _infer_all_batched(engine: InferenceEngine, dataset, n: int,
         t.start()
     for t in threads:
         t.join()
-    sched.stop()
+    # sched stays alive on the engine for the next evaluate call (daemon
+    # loop thread; idle between runs costs nothing)
     if errors:
         raise RuntimeError(f"batched eval failed on {errors[:3]} "
                            f"(+{max(0, len(errors) - 3)} more)")
