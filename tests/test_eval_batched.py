@@ -108,3 +108,22 @@ def test_batched_eval_joins_at_full_width(monkeypatch):
         engine, StubDataset(8), batched=4, seed=1, log_every=0,
         batched_max_len=1024, batched_chunk=4)
     assert widths == [4, 4], widths
+
+
+def test_batched_scheduler_reused_across_calls():
+    """The engine owns ONE scheduler per (slots, max_len, chunk), reused
+    across evaluate calls: per-call schedulers each allocate a multi-GB
+    slots cache, and freed device memory never returns on the TPU tunnel
+    (OOM / allocator thrash — docs/PERF_NOTES.md round 5)."""
+    params = init_handsonvlm(jax.random.PRNGKey(0), CFG)
+    engine = InferenceEngine(
+        params=params, cfg=CFG, tokenizer=MockTokenizer(), max_new_tokens=4,
+        temperature=0.0,
+    )
+    kwargs = dict(seed=3, log_every=0, batched=2,
+                  batched_max_len=1024, batched_chunk=4)
+    evaluate_epic_kitchen_traj(engine, StubDataset(2), **kwargs)
+    sched1 = engine._batched_scheds[(2, 1024, 4)]
+    assert sched1._thread.is_alive()  # kept for reuse, not stopped
+    evaluate_epic_kitchen_traj(engine, StubDataset(2), **kwargs)
+    assert engine._batched_scheds[(2, 1024, 4)] is sched1
