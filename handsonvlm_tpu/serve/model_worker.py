@@ -55,6 +55,7 @@ class ModelWorker:
         continuous_slots: int = 0,
         continuous_max_len: int = 4096,
         ttft_slo=None,
+        admit_hold_s: float = 0.0,
     ):
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
@@ -69,7 +70,7 @@ class ModelWorker:
         self._load_args = (
             model_path, preset, quantize, max_batch, batch_wait_ms,
             lora_dir, lora_resident, spec_k, kv_quant,
-            continuous_slots, continuous_max_len, ttft_slo,
+            continuous_slots, continuous_max_len, ttft_slo, admit_hold_s,
         )
         if not defer_load:
             self.load()
@@ -81,7 +82,8 @@ class ModelWorker:
         (ROADMAP round-1 item; the reference worker binds only after load)."""
         (model_path, preset, quantize, max_batch, batch_wait_ms,
          lora_dir, lora_resident, spec_k, kv_quant,
-         continuous_slots, continuous_max_len, ttft_slo) = self._load_args
+         continuous_slots, continuous_max_len, ttft_slo,
+         admit_hold_s) = self._load_args
 
         from handsonvlm_tpu.eval.evaluator import InferenceEngine
         from handsonvlm_tpu.infer.builder import load_pretrained_model
@@ -131,7 +133,7 @@ class ModelWorker:
             self.scheduler = ContinuousScheduler(
                 params, cfg, slots=continuous_slots,
                 max_len=continuous_max_len, kv_quant=kv_quant,
-                ttft_slo=ttft_slo,
+                ttft_slo=ttft_slo, admit_hold_s=admit_hold_s,
             )
 
         self.ready = True
@@ -577,6 +579,12 @@ def main():
                    help="shared-cache length budget for --continuous "
                         "(prompt buckets + decode chunks of every "
                         "concurrently admitted request)")
+    p.add_argument("--admit-hold", type=float, default=0.0, metavar="SECONDS",
+                   help="idle-engine burst coalescing for --continuous: "
+                        "wait up to this long for more arrivals before the "
+                        "first join so a burst prefills as ONE full-width "
+                        "fused dispatch (recommended ~0.25 for batch-style "
+                        "traffic; 0 keeps latency-first admission)")
     p.add_argument("--ttft-slo", type=float, default=None, metavar="SECONDS",
                    help="first-token latency SLO for --continuous: reject "
                         "(HTTP 429) any request whose estimated TTFT "
@@ -596,6 +604,7 @@ def main():
         continuous_slots=args.continuous,
         continuous_max_len=args.continuous_max_len,
         ttft_slo=args.ttft_slo,
+        admit_hold_s=args.admit_hold,
     )
     # bind + serve /healthz immediately; generate endpoints 503 until loaded
     server = serve_worker(worker, args.host, args.port)
