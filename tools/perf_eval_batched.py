@@ -69,6 +69,7 @@ def main():
     n_clips = int(os.environ.get("PERF_CLIPS", "16"))
     slots = int(os.environ.get("PERF_SLOTS", "4"))
     max_new = int(os.environ.get("PERF_MAXNEW", "64"))
+    n_samples = int(os.environ.get("PERF_SAMPLES", "1"))
     if preset == "tiny":
         cfg = tiny_config()
         from handsonvlm_tpu.models.handsonvlm import init_handsonvlm
@@ -109,12 +110,12 @@ def main():
         t0 = time.perf_counter()
         r = evaluate_epic_kitchen_traj(
             engine, ds, seed=1, log_every=0, batched=batched,
-            batched_max_len=max_len,
+            num_samples=n_samples, batched_max_len=max_len,
             batched_chunk=16 if preset != "tiny" else 4)
         return time.perf_counter() - t0, r
 
     print(f"preset={preset} clips={n_clips} slots={slots} "
-          f"max_new={max_new}", flush=True)
+          f"max_new={max_new} samples={n_samples}", flush=True)
     # warm both paths (compiles), then interleave
     run(slots)
     run(0)
